@@ -1,0 +1,249 @@
+"""Distributed inverted-index construction — the Spark-native rebuild of
+the reference's in-memory indexing loop (/root/reference/main.py:142-217)
+and index structures (/root/reference/indexes/positionalinvertedindex.py,
+/root/reference/indexes/invertedindex.py).
+
+Design for 10^12-doc scale:
+
+* Tokenization + stemming runs as ONE Arrow-batched pandas UDF pass per
+  document (no per-row Python UDF calls; each unique token in a batch
+  is stemmed once via a batch-local cache — Zipfian text makes this
+  cache hit >95%).
+* ``postings`` is produced by a single shuffle on the composite key
+  (term, doc_id). The composite key is NOT skewed even for Zipf head
+  terms ("the" appears once per (term, doc_id) group), so no salting is
+  needed here; partial aggregation (map-side combine) already bounds
+  the shuffle. Skew handling for per-TERM aggregation (df counts,
+  posting-list segments) is in segments.py where groups are bounded by
+  fixed-size blocks.
+* ``doc_stats`` / ``corpus_stats`` are tiny per-doc / scalar tables;
+  corpus_stats is broadcast at query time.
+* Everything downstream is columnar: the ranked path never reads the
+  ``positions`` column (columnar projection replaces the reference's
+  byte-skipping trick at diskpositionalindex.py:178-186).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..text.tokenizer import analyze_document, process_token
+
+ANALYZE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "terms",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType()),
+                        T.StructField("pos", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("doc_length", T.IntegerType()),
+        T.StructField("biwords", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _analyze_batch(texts: pd.Series) -> pd.DataFrame:
+    """Analyze one Arrow batch of documents; stems each unique token once."""
+    cache: dict[str, list[str]] = {}
+
+    def cached_processor(tok: str) -> list[str]:
+        exp = cache.get(tok)
+        if exp is None:
+            exp = process_token(tok)
+            cache[tok] = exp
+        return exp
+
+    terms_col, len_col, biword_col = [], [], []
+    for text in texts:
+        ana = analyze_document(text if text is not None else "", cached_processor)
+        terms_col.append([{"term": t, "pos": p} for t, p in ana.term_positions])
+        len_col.append(ana.doc_length)
+        # per-doc dedupe mirrors InvertedIndex.add_term's consecutive
+        # same-doc dedupe (invertedindex.py:11-17)
+        biword_col.append(list(dict.fromkeys(ana.biwords)))
+    return pd.DataFrame(
+        {"terms": terms_col, "doc_length": len_col, "biwords": biword_col}
+    )
+
+
+analyze_udf = F.pandas_udf(_analyze_batch, ANALYZE_SCHEMA)
+
+
+@dataclass
+class SparkIndex:
+    """The distributed index: four DataFrames + broadcastable scalars."""
+
+    postings: DataFrame  # term, doc_id, tftd, positions
+    doc_stats: DataFrame  # doc_id, Ld, doc_length, byte_size, avg_tftd
+    corpus_stats: DataFrame  # n_docs, avg_doc_length
+    biword: DataFrame  # term ("t1 t2"), doc_id
+    term_buckets: int | None = None  # bucket-partition count when persisted
+    _scalars: tuple[int, float] | None = None
+
+    def corpus_scalars(self) -> tuple[int, float]:
+        """(n_docs, avg_doc_length) — collected once, then reused."""
+        if self._scalars is None:
+            row = self.corpus_stats.collect()[0]
+            self._scalars = (int(row["n_docs"]), float(row["avg_doc_length"]))
+        return self._scalars
+
+    def cache(self) -> "SparkIndex":
+        self.postings.cache()
+        self.doc_stats.cache()
+        self.biword.cache()
+        return self
+
+
+def build_index(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    byte_size_col: str | None = None,
+) -> SparkIndex:
+    """Build the positional index from a documents DataFrame.
+
+    ``byte_size_col``: column holding the document byte size (feeds the
+    Wacky normalizer, main.py:212). Defaults to octet_length(text).
+    """
+    byte_size = (
+        F.col(byte_size_col).cast("double")
+        if byte_size_col
+        else F.octet_length(F.col(text_col)).cast("double")
+    )
+    analyzed = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"),
+        analyze_udf(F.col(text_col)).alias("a"),
+        byte_size.alias("byte_size"),
+    )
+
+    tokens = analyzed.select(
+        "doc_id", F.explode("a.terms").alias("tp")
+    ).select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+
+    # One shuffle on (term, doc_id); map-side partial aggregation bounds
+    # the data moved. sort_array reproduces ascending position order
+    # (reference appends in scan order, positionalinvertedindex.py:11-21).
+    postings = tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tftd"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+    # Ld = sqrt(sum over distinct terms of (1+ln tftd)^2)  (main.py:186-191)
+    # avg_tftd = sum(tftd)/#distinct terms                  (main.py:199-209)
+    per_doc = postings.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))).alias("Ld"),
+        (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
+    )
+
+    doc_stats = (
+        analyzed.select(
+            "doc_id",
+            F.col("a.doc_length").cast("double").alias("doc_length"),
+            "byte_size",
+        )
+        .join(per_doc, "doc_id", "left")
+        .fillna({"Ld": 0.0, "avg_tftd": 0.0})
+        .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
+    )
+
+    corpus_stats = doc_stats.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_length").alias("avg_doc_length"),
+    )
+
+    biword = (
+        analyzed.select("doc_id", F.explode("a.biwords").alias("term"))
+        .select("term", "doc_id")
+    )
+
+    return SparkIndex(postings, doc_stats, corpus_stats, biword)
+
+
+def write_index(index: SparkIndex, path: str, term_buckets: int = 64) -> None:
+    """Persist the index as parquet, term-hash partitioned so query-time
+    term lookups prune to one directory (the Spark analogue of the
+    reference's SQLite term->offset B-tree, diskindexwriter.py:30-38).
+
+    The bucket count is stored in _meta.json and MUST be read back for
+    pruning — a mismatched modulus silently filters out real postings.
+    """
+    (
+        index.postings.withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(term_buckets)).cast("int")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    index.corpus_stats.write.mode("overwrite").parquet(f"{path}/corpus_stats")
+    (
+        index.biword.withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(term_buckets)).cast("int")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/biword")
+    )
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_meta.json", "w") as fh:
+        json.dump({"term_buckets": term_buckets}, fh)
+
+
+def read_index(spark: SparkSession, path: str) -> SparkIndex:
+    """Load a persisted index. The ``bucket`` partition column is kept:
+    the query engine filters on it so term lookups prune to a single
+    partition directory instead of scanning all postings."""
+    import json
+    import os
+
+    term_buckets = None
+    meta_path = f"{path}/_meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            term_buckets = json.load(fh).get("term_buckets")
+    return SparkIndex(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        corpus_stats=spark.read.parquet(f"{path}/corpus_stats"),
+        biword=spark.read.parquet(f"{path}/biword"),
+        term_buckets=term_buckets,
+    )
+
+
+def term_bucket(term: str, term_buckets: int = 64) -> int:
+    """Driver-side bucket id for a term — crc32 so Python and the JVM
+    (F.crc32) agree, letting query-time lookups emit LITERAL bucket
+    predicates that Catalyst turns into partition pruning (the Spark
+    analogue of the reference's SQLite term->byte-offset seek,
+    diskindexwriter.py:116-123)."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % term_buckets
+
+
+def term_filter(df: DataFrame, terms: list[str], term_buckets: int | None = None):
+    """Filter a (possibly bucket-partitioned) postings frame to a term
+    set; adds literal bucket predicates for partition pruning when the
+    bucket count is known (from SparkIndex.term_buckets)."""
+    cond = F.col("term").isin(terms)
+    if term_buckets and "bucket" in df.columns and terms:
+        buckets = sorted({term_bucket(t, term_buckets) for t in terms})
+        return df.filter(F.col("bucket").isin(buckets) & cond)
+    return df.filter(cond)

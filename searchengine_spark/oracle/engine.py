@@ -14,6 +14,7 @@ import heapq
 import math
 from dataclasses import dataclass, field
 
+from ..queries.parser import Node, parse_boolean_query
 from ..text.tokenizer import analyze_document, process_token
 
 # A posting is (doc_id, tftd, positions) — positions sorted ascending.
@@ -221,79 +222,6 @@ def near_merge(x: list[Posting], y: list[Posting], k: int) -> list[Posting]:
 # ---------------------------------------------------------------------------
 # Boolean query AST + evaluation (queries/*.py semantics)
 # ---------------------------------------------------------------------------
-
-@dataclass
-class Node:
-    kind: str  # 'term' | 'phrase' | 'near' | 'not' | 'and' | 'or'
-    term: str = ""
-    children: list["Node"] = field(default_factory=list)
-    k: int = 0
-    is_negative: bool = False
-
-
-def parse_boolean_query(query: str) -> Node | None:
-    """Grammar per queries/booleanqueryparser.py:134-192: '+' separates
-    OR subqueries; whitespace inside a subquery is AND; '-lit' is NOT;
-    '"..."' is a phrase; '[a NEAR/k b]' is proximity."""
-    subqueries = [s for s in query.split("+")]
-    or_children: list[Node] = []
-    for sub in subqueries:
-        literals = _parse_subquery(sub)
-        if not literals:
-            continue
-        if len(literals) == 1:
-            or_children.append(literals[0])
-        else:
-            or_children.append(Node("and", children=literals))
-    if not or_children:
-        return None
-    if len(or_children) == 1:
-        return or_children[0]
-    return Node("or", children=or_children)
-
-
-def _parse_subquery(sub: str) -> list[Node]:
-    literals: list[Node] = []
-    i = 0
-    n = len(sub)
-    while i < n:
-        if sub[i] == " ":
-            i += 1
-            continue
-        negative = False
-        if sub[i] == "-":
-            negative = True
-            i += 1
-            while i < n and sub[i] == " ":
-                i += 1
-            if i >= n:
-                break
-        if sub[i] == "[":
-            end = sub.find("]", i + 1)
-            body = sub[i + 1 : end] if end >= 0 else sub[i + 1 :]
-            i = (end + 1) if end >= 0 else n
-            parts = body.split(" ")
-            node = Node("near", children=[Node("term", term=parts[0]),
-                                          Node("term", term=parts[2])],
-                        k=int(parts[1].split("/")[1]))
-        elif sub[i] == '"':
-            end = sub.find('"', i + 1)
-            body = sub[i + 1 : end] if end >= 0 else sub[i + 1 :]
-            i = (end + 1) if end >= 0 else n
-            if not body:
-                continue
-            node = Node("phrase", term=body)
-        else:
-            end = sub.find(" ", i)
-            if end < 0:
-                end = n
-            node = Node("term", term=sub[i:end])
-            i = end
-        if negative:
-            node = Node("not", children=[node], is_negative=True)
-        literals.append(node)
-    return literals
-
 
 def _term_postings_boolean(idx: OracleIndex, raw_term: str) -> list[Posting]:
     """TermLiteral boolean mode (queries/termliteral.py:19-54): hyphenated

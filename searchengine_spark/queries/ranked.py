@@ -1,0 +1,142 @@
+"""Ranked retrieval — the four reference scoring strategies
+(/root/reference/ranked_strategy.py) as pure-JVM DataFrame pipelines.
+
+Shape per strategy (strategy pattern, ranked_strategy.py:10-33):
+query terms are deduped via set(query.split(' ')) BEFORE normalization
+(ranked_strategy.py:62); each raw term maps through the rank-mode
+TermLiteral rules (termliteral.py:36-42 — hyphenated terms collapse to
+their LAST part); scores accumulate per doc; a per-doc normalizer
+divides at the end; top-K uses heapq tuple order = (score desc, doc_id
+desc) on ties (main.py:463-467), locked here via orderBy(desc(score),
+desc(doc_id)).limit(k) -> Catalyst's TakeOrderedAndProject.
+
+Scale notes: the postings scan is filtered to the handful of query
+terms (partition-pruned when the index is bucket-partitioned); dft
+counts are a tiny aggregate joined back by broadcast; corpus scalars
+are literals; the only wide shuffle is groupBy(doc_id) over the
+matched postings, which is exactly the accumulator the reference
+builds one doc at a time.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.build import SparkIndex, term_filter
+from ..oracle.engine import term_for_rank_mode
+
+STRATEGIES = ("default", "tfidf", "bm25", "wacky")
+
+# Vocab-elimination thresholds (S7):
+# vocab_elimination_main_precision_demo.py:142,171
+PRUNE_THRESHOLDS = {"default": 1.1, "bm25": 0.4}
+
+
+def query_rank_terms(query: str) -> dict[str, int]:
+    """raw query -> {index term: multiplicity}. Multiplicity >1 happens
+    when two distinct raw terms normalize to the same index term — the
+    reference then accumulates that term's postings twice."""
+    counts: Counter[str] = Counter()
+    for raw in set(query.split(" ")):
+        term = term_for_rank_mode(raw)
+        if term:
+            counts[term] += 1
+    return dict(counts)
+
+
+def _wqt(strategy: str, n_docs: int):
+    dft = F.col("dft").cast("double")
+    n = F.lit(float(n_docs))
+    if strategy == "default":
+        return F.log(F.lit(1.0) + n / dft)
+    if strategy == "tfidf":
+        return F.log(n / dft)
+    if strategy == "bm25":
+        return F.greatest(F.lit(0.1), F.log((n - dft + 0.5) / (dft + 0.5)))
+    if strategy == "wacky":
+        # numpy ln(0) = -inf in the reference, so max(0, ln(0)) == 0
+        return F.when(n > dft, F.greatest(F.lit(0.0), F.log((n - dft) / dft))).otherwise(0.0)
+    raise ValueError(strategy)
+
+
+def _wdt(strategy: str, avg_doc_length: float):
+    tftd = F.col("tftd").cast("double")
+    if strategy == "default":
+        return F.lit(1.0) + F.log(tftd)
+    if strategy == "tfidf":
+        return tftd
+    if strategy == "bm25":
+        # k1=1.2, b=0.75 fixed (ranked_strategy.py:134-135)
+        denom = 1.2 * (0.25 + 0.75 * F.col("doc_length") / F.lit(avg_doc_length)) + tftd
+        return 2.2 * tftd / denom
+    if strategy == "wacky":
+        return F.when(
+            F.col("avg_tftd") > 0,
+            (F.lit(1.0) + F.log(tftd)) / (F.lit(1.0) + F.log("avg_tftd")),
+        ).otherwise(0.0)
+    raise ValueError(strategy)
+
+
+def _normalizer(strategy: str):
+    if strategy == "bm25":
+        return F.lit(1.0)
+    if strategy == "wacky":
+        return F.sqrt(F.col("byte_size"))
+    return F.col("Ld")
+
+
+def rank_topk(
+    index: SparkIndex,
+    query: str,
+    strategy: str = "bm25",
+    k: int = 10,
+    prune: bool = False,
+) -> DataFrame:
+    """Return DataFrame(doc_id, score) — top-k, ties broken doc_id desc.
+
+    ``prune=True`` applies the vocab-elimination wqt threshold (S7)
+    before touching postings — the scalar degenerate case of WAND.
+    """
+    terms = query_rank_terms(query)
+    n_docs, avg_dl = index.corpus_scalars()
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    mult_df = spark.createDataFrame(
+        [(t, float(m)) for t, m in terms.items()], "term string, mult double"
+    )
+    # Ranked path never reads positions: columnar projection gives the
+    # reference's position-skipping read (R2) for free.
+    matched = term_filter(
+        index.postings, list(terms), index.term_buckets
+    ).select("term", "doc_id", "tftd")
+
+    dft = matched.groupBy("term").agg(F.count("*").alias("dft"))
+    dft = dft.withColumn("wqt", _wqt(strategy, n_docs))
+    threshold = PRUNE_THRESHOLDS.get(strategy)
+    if prune and threshold is not None:
+        dft = dft.filter(F.col("wqt") >= threshold)
+
+    scored = (
+        matched.join(F.broadcast(dft.select("term", "wqt")), "term")
+        .join(F.broadcast(mult_df), "term")
+        .join(index.doc_stats, "doc_id")
+        .withColumn("contrib", _wdt(strategy, avg_dl) * F.col("wqt") * F.col("mult"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("raw_score"),
+            # normalizer inputs are functionally dependent on doc_id;
+            # carrying them through the agg avoids a second doc_stats join
+            F.first("Ld").alias("Ld"),
+            F.first("byte_size").alias("byte_size"),
+        )
+        .select(
+            "doc_id",
+            (F.col("raw_score") / _normalizer(strategy)).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
