@@ -153,21 +153,52 @@ def _extract_batch(htmls: pd.Series) -> pd.Series:
 extract_text_udf = F.pandas_udf(_extract_batch, T.StringType())
 
 
-def docs_from_pages(pages: DataFrame, lang: str | None = None) -> DataFrame:
-    """Assign deterministic doc_ids: dense_rank over url − 1 (replaces
-    the reference's glob-order id counter, directorycorpus.py:47-55).
+def docs_from_pages(pages: DataFrame, lang: str | None = None,
+                    partitions: int | None = None) -> DataFrame:
+    """Assign deterministic doc_ids = global rank of (unique) url
+    (replaces the reference's glob-order id counter,
+    directorycorpus.py:47-55).
 
-    A global Window.orderBy would single-task; zipWithIndex-style tricks
-    break determinism under repartition. dense_rank over url is exact
-    and deterministic; at 10^12 scale the same contract is met by a
-    sort + monotonic id + broadcast per-partition offsets — documented
-    here, implemented with dense_rank for sandbox sizes.
+    Distributed two-phase ranking — NO global single-task window:
+    (1) range-partition + sort within partitions by url (parallel),
+    (2) collect the tiny per-partition row counts, broadcast cumulative
+        offsets, and add a per-partition row_number.
+    doc_id depends only on the global url order (urls are unique), so
+    the result is identical at any parallelism — which is what makes
+    the local[8]-vs-local[32] scaling evidence apples-to-apples.
     """
     from pyspark.sql.window import Window
 
     if lang:
         pages = pages.filter(F.col("lang") == lang)
-    w = Window.orderBy("url")
-    return pages.withColumn(
-        "doc_id", (F.dense_rank().over(w) - 1).cast("long")
-    ).select("doc_id", "url", "text", F.octet_length("html").alias("byte_size"))
+    if partitions is None:
+        partitions = max(pages.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        pages.select("url", "text", F.octet_length("html").alias("byte_size"))
+        .repartitionByRange(partitions, "url")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # two passes over `ranged` (counts, then ranking) — persist so the
+    # upstream scan/generation runs once; at warehouse scale this is a
+    # checkpointed stage instead (pipeline/checkpoint.py)
+    ranged = ranged.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = pages.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("url")  # per-partition: parallel
+    return (
+        ranged.join(off_df, "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "url", "text", "byte_size")
+    )

@@ -110,11 +110,16 @@ def build_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     byte_size_col: str | None = None,
+    persist: bool = False,
 ) -> SparkIndex:
     """Build the positional index from a documents DataFrame.
 
     ``byte_size_col``: column holding the document byte size (feeds the
     Wacky normalizer, main.py:212). Defaults to octet_length(text).
+    ``persist=True`` caches the tokenized intermediate so the four index
+    outputs (postings/doc_stats/corpus_stats/biword) tokenize each doc
+    ONCE instead of once per output action — at warehouse scale the
+    same role is played by a checkpointed tokens stage on disk.
     """
     byte_size = (
         F.col(byte_size_col).cast("double")
@@ -126,6 +131,10 @@ def build_index(
         analyze_udf(F.col(text_col)).alias("a"),
         byte_size.alias("byte_size"),
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        analyzed = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
     tokens = analyzed.select(
         "doc_id", F.explode("a.terms").alias("tp")

@@ -1,0 +1,200 @@
+"""Compressed, block-split posting-list segments — the Spark-native
+rebuild of the reference's disk index format
+(/root/reference/diskindexwriter.py:58-114: per term ``VB(df)`` then per
+posting ``VB(docid_gap) VB(tftd) VB(position_gaps...)``), redesigned for
+10^12-doc scale:
+
+* **Posting-list splitting**: block id = ``doc_id // block_span``.
+  Fixed doc-id ranges → the (term, block) grouping key is bounded by
+  ``block_span`` rows per group, so Zipf head terms ("the" in every
+  doc) can never produce a straggler group — the skew handling the
+  north rule requires, with no window and no salting round-trip.
+  Spark's partial aggregation performs the two-stage combine.
+* **Delta + VB compression** (vb.py, numpy-vectorized inside an
+  Arrow-batched pandas UDF): doc-id gaps within block, per-posting
+  tftds, per-posting position gaps, concatenated; ``pos_lens`` VB array
+  carries the per-posting position counts so positions decode without
+  consulting tftd (they are equal by construction, but storing both
+  mirrors the reference format's redundancy).
+* **Block-max metadata**: per (term, block) ``df_block``, ``max_tftd``
+  and ``min_doc_length`` — the inputs to a BM25 score upper bound —
+  feed block-max WAND pruning (queries/wand.py; Broder et al. 2003,
+  Ding & Suel 2011 as surfaced in PAPERS.md).
+* **Columnar position-skipping**: positions live in their own binary
+  column; ranked reads project only (docids_vb, tftds_vb) — the
+  columnar replacement for the reference's byte-skipping read path
+  (/root/reference/indexes/diskpositionalindex.py:178-186).
+* Written parquet partitioned by ``bucket = crc32(term) % n`` so a
+  query's term lookups prune to a handful of partition directories
+  (the Spark analogue of the SQLite term→offset B-tree,
+  /root/reference/diskindexwriter.py:30-38).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .build import SparkIndex
+from .vb import delta_decode, delta_encode, vb_decode, vb_encode
+
+DEFAULT_BLOCK_SPAN = 4096
+
+ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("docids_vb", T.BinaryType()),
+        T.StructField("tftds_vb", T.BinaryType()),
+        T.StructField("pos_lens_vb", T.BinaryType()),
+        T.StructField("positions_vb", T.BinaryType()),
+    ]
+)
+
+
+def _encode_batch(doc_ids: pd.Series, tftds: pd.Series,
+                  positions: pd.Series) -> pd.DataFrame:
+    """Encode one Arrow batch of (term, block) posting groups. Inputs
+    are arrays-per-row (already sorted by doc_id via sort_array)."""
+    out = {k.name: [] for k in ENC_SCHEMA.fields}
+    for dids, tfs, poss in zip(doc_ids, tftds, positions):
+        out["docids_vb"].append(vb_encode(delta_encode(list(dids))))
+        out["tftds_vb"].append(vb_encode(list(tfs)))
+        out["pos_lens_vb"].append(vb_encode([len(p) for p in poss]))
+        flat = []
+        for p in poss:
+            flat.extend(delta_encode(list(p)))
+        out["positions_vb"].append(vb_encode(flat))
+    return pd.DataFrame(out)
+
+
+encode_udf = F.pandas_udf(_encode_batch, ENC_SCHEMA)
+
+
+def build_segments(postings: DataFrame, doc_stats: DataFrame,
+                   block_span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
+    """postings(term, doc_id, tftd, positions) → compressed segments:
+    (term, block, df_block, max_tftd, min_doc_length, *_vb binary)."""
+    with_block = (
+        postings.join(doc_stats.select("doc_id", "doc_length"), "doc_id")
+        .withColumn("block", (F.col("doc_id") / F.lit(block_span)).cast("long"))
+    )
+    grouped = with_block.groupBy("term", "block").agg(
+        F.count("*").cast("long").alias("df_block"),
+        F.max("tftd").cast("int").alias("max_tftd"),
+        F.min("doc_length").cast("double").alias("min_doc_length"),
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tftd", "positions"))
+        ).alias("ps"),
+    )
+    enc = grouped.withColumn(
+        "enc", encode_udf(F.col("ps.doc_id"), F.col("ps.tftd"), F.col("ps.positions"))
+    )
+    return enc.select(
+        "term", "block", "df_block", "max_tftd", "min_doc_length",
+        F.col("enc.docids_vb").alias("docids_vb"),
+        F.col("enc.tftds_vb").alias("tftds_vb"),
+        F.col("enc.pos_lens_vb").alias("pos_lens_vb"),
+        F.col("enc.positions_vb").alias("positions_vb"),
+    )
+
+
+def write_segments(postings: DataFrame, doc_stats: DataFrame, path: str,
+                   block_span: int = DEFAULT_BLOCK_SPAN,
+                   term_buckets: int = 64) -> None:
+    """Materialize segments parquet, bucket-partitioned by term hash
+    (+ build lineage: spark partition id per row)."""
+    seg = build_segments(postings, doc_stats, block_span).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(term_buckets)).cast("int"),
+    ).withColumn("_build_part", F.spark_partition_id())
+    (
+        seg.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/segments")
+    )
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_segments_meta.json", "w") as fh:
+        json.dump({"block_span": block_span, "term_buckets": term_buckets}, fh)
+
+
+def read_segments(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    import json
+
+    with open(f"{path}/_segments_meta.json") as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(f"{path}/segments"), meta
+
+
+DEC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("tftds", T.ArrayType(T.IntegerType())),
+        T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    ]
+)
+
+
+def _decode_batch(docids_vb: pd.Series, tftds_vb: pd.Series,
+                  pos_lens_vb: pd.Series, positions_vb: pd.Series) -> pd.DataFrame:
+    rows = {"doc_ids": [], "tftds": [], "positions": []}
+    for dvb, tvb, lvb, pvb in zip(docids_vb, tftds_vb, pos_lens_vb, positions_vb):
+        dids = delta_decode(vb_decode(bytes(dvb)))
+        rows["doc_ids"].append([int(x) for x in dids])
+        rows["tftds"].append([int(x) for x in vb_decode(bytes(tvb))])
+        if pvb is None or len(pvb) == 0:
+            rows["positions"].append([[] for _ in dids])
+            continue
+        lens = vb_decode(bytes(lvb))
+        flat = vb_decode(bytes(pvb))
+        poss, off = [], 0
+        for ln in lens:
+            ln = int(ln)
+            poss.append([int(x) for x in delta_decode(flat[off:off + ln])])
+            off += ln
+        rows["positions"].append(poss)
+    return pd.DataFrame(rows)
+
+
+decode_udf = F.pandas_udf(_decode_batch, DEC_SCHEMA)
+
+
+def decode_postings(segments: DataFrame, terms: list[str],
+                    term_buckets: int | None = None,
+                    with_positions: bool = True) -> DataFrame:
+    """Segments → exploded postings for a term set. Ranked reads pass
+    ``with_positions=False`` and never touch the positions column
+    (columnar projection = the reference's position-skip, R2)."""
+    from .build import term_filter
+
+    seg = term_filter(segments, terms, term_buckets)
+    if with_positions:
+        dec = seg.withColumn(
+            "d",
+            decode_udf("docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb"),
+        ).select(
+            "term",
+            F.explode(F.arrays_zip("d.doc_ids", "d.tftds", "d.positions")).alias("z"),
+        )
+        return dec.select(
+            "term",
+            F.col("z.doc_ids").alias("doc_id"),
+            F.col("z.tftds").alias("tftd"),
+            F.col("z.positions").alias("positions"),
+        )
+    dec = seg.withColumn(
+        "d",
+        decode_udf(
+            "docids_vb", "tftds_vb",
+            F.lit(b"").cast("binary"), F.lit(b"").cast("binary"),
+        ),
+    ).select("term", F.explode(F.arrays_zip("d.doc_ids", "d.tftds")).alias("z"))
+    return dec.select(
+        "term",
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.tftds").alias("tftd"),
+    )

@@ -1,0 +1,133 @@
+"""The staged, checkpoint-resumable index build (north rule).
+
+Stage graph (each stage = parquet + lineage manifest via
+``checkpoint.run_stage``; any prefix can be resumed):
+
+    docs       pages(url, warc_ts, html, text, lang) → extracted text +
+               deterministic doc_id (global url rank, corpus.py)
+    analyzed   ONE Arrow pandas-UDF pass: per-doc term/position arrays,
+               doc_length, biwords, byte_size — the only Python stage;
+               everything downstream is whole-stage-codegen JVM
+    postings   (term, doc_id, tftd, positions) — shuffle on the unskewed
+               composite key with map-side combine
+    doc_stats / corpus_stats / biword — narrow aggregates
+
+The expensive tokenization runs exactly once per corpus regardless of
+how many outputs or query sessions follow — the warehouse-scale
+replacement for in-memory ``.persist()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import docs_from_pages, pages_df
+from ..indexing.build import SparkIndex, analyze_udf
+from .checkpoint import run_stage
+
+PIPELINE_VERSION = "v1"
+
+
+def stage_docs(spark: SparkSession, root: str, n_docs: int, seed: int = 42,
+               partitions: int | None = None) -> DataFrame:
+    fp = f"{PIPELINE_VERSION}:docs:{n_docs}:{seed}"
+    return run_stage(
+        spark, root, "docs", fp,
+        lambda: docs_from_pages(pages_df(spark, n_docs, seed, partitions=partitions)),
+    )
+
+
+def run_index_pipeline(
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    fingerprint: str,
+    byte_size_col: str | None = "byte_size",
+) -> SparkIndex:
+    """Stages analyzed → postings/doc_stats/corpus_stats/biword from a
+    docs DataFrame (columns: doc_id, text [, byte_size])."""
+    fp = f"{PIPELINE_VERSION}:{fingerprint}"
+
+    byte_size = (
+        F.col(byte_size_col).cast("double")
+        if byte_size_col and byte_size_col in docs.columns
+        else F.octet_length(F.col("text")).cast("double")
+    )
+
+    # Parquet splits are sized by BYTES (maxPartitionBytes), but the
+    # analyze stage's cost is CPU per row (tokenize+stem) — a byte-sized
+    # split count under-parallelizes it badly. Repartition to a multiple
+    # of total cores; the small text shuffle is ~free next to the UDF.
+    n_parts = max(spark.sparkContext.defaultParallelism * 3, 8)
+    docs = docs.repartition(n_parts)
+
+    analyzed = run_stage(
+        spark, root, "analyzed", fp,
+        lambda: docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            analyze_udf(F.col("text")).alias("a"),
+            byte_size.alias("byte_size"),
+        ).select(
+            "doc_id",
+            F.col("a.terms").alias("terms"),
+            F.col("a.doc_length").alias("doc_length"),
+            F.col("a.biwords").alias("biwords"),
+            "byte_size",
+        ),
+    )
+
+    postings = run_stage(
+        spark, root, "postings", fp,
+        lambda: (
+            analyzed.repartition(n_parts)
+            .select("doc_id", F.explode("terms").alias("tp"))
+            .select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+            .groupBy("term", "doc_id")
+            .agg(
+                F.count("*").cast("int").alias("tftd"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        ),
+    )
+
+    doc_stats = run_stage(
+        spark, root, "doc_stats", fp,
+        lambda: (
+            analyzed.select(
+                "doc_id",
+                F.col("doc_length").cast("double").alias("doc_length"),
+                "byte_size",
+            )
+            .join(
+                postings.groupBy("doc_id").agg(
+                    F.sqrt(
+                        F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))
+                    ).alias("Ld"),
+                    (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .fillna({"Ld": 0.0, "avg_tftd": 0.0})
+            .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
+        ),
+    )
+
+    corpus_stats = run_stage(
+        spark, root, "corpus_stats", fp,
+        lambda: doc_stats.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_length").alias("avg_doc_length"),
+        ),
+    )
+
+    biword = run_stage(
+        spark, root, "biword", fp,
+        lambda: (
+            analyzed.select("doc_id", F.explode("biwords").alias("term"))
+            .select("term", "doc_id")
+        ),
+    )
+
+    return SparkIndex(postings, doc_stats, corpus_stats, biword)

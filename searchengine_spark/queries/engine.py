@@ -59,14 +59,17 @@ phrase_pair_udf = _positional_pair_udf(phrase_merge)
 near_pair_udf = _positional_pair_udf(near_merge)
 
 
-def _boolean_term(index: SparkIndex, raw_term: str) -> DataFrame:
+def boolean_query_term(raw_term: str) -> str:
     """TermLiteral boolean mode (termliteral.py:22-54): hyphenated query
     terms use the FUSED form tokenized[0]."""
     expansions = process_token(raw_term)
-    term = expansions[0] if "-" in raw_term else (expansions[-1] if expansions else "")
-    return term_filter(index.postings, [term], index.term_buckets).select(
-        "doc_id", "positions"
-    )
+    return expansions[0] if "-" in raw_term else (expansions[-1] if expansions else "")
+
+
+def _boolean_term(index: SparkIndex, raw_term: str, normalize) -> DataFrame:
+    return term_filter(
+        index.postings, [normalize(raw_term)], index.term_buckets
+    ).select("doc_id", "positions")
 
 
 def _positional_fold(left: DataFrame, right: DataFrame, offset: int, udf) -> DataFrame:
@@ -80,30 +83,32 @@ def _positional_fold(left: DataFrame, right: DataFrame, offset: int, udf) -> Dat
     )
 
 
-def _eval_phrase(index: SparkIndex, phrase: str) -> DataFrame:
+def _eval_phrase(index: SparkIndex, phrase: str, normalize) -> DataFrame:
     terms = phrase.split(" ")
-    acc = _boolean_term(index, terms[0])
+    acc = _boolean_term(index, terms[0], normalize)
     for i in range(1, len(terms)):
-        acc = _positional_fold(acc, _boolean_term(index, terms[i]), i, phrase_pair_udf)
+        acc = _positional_fold(
+            acc, _boolean_term(index, terms[i], normalize), i, phrase_pair_udf
+        )
     return acc
 
 
-def _eval(index: SparkIndex, node: Node) -> DataFrame:
+def _eval(index: SparkIndex, node: Node, normalize) -> DataFrame:
     if node.kind == "term":
-        return _boolean_term(index, node.term)
+        return _boolean_term(index, node.term, normalize)
     if node.kind == "phrase":
-        return _eval_phrase(index, node.term)
+        return _eval_phrase(index, node.term, normalize)
     if node.kind == "near":
-        left = _eval(index, node.children[0])
-        right = _eval(index, node.children[1])
+        left = _eval(index, node.children[0], normalize)
+        right = _eval(index, node.children[1], normalize)
         return _positional_fold(left, right, node.k, near_pair_udf)
     if node.kind == "not":
-        return _eval(index, node.children[0])
+        return _eval(index, node.children[0], normalize)
     if node.kind == "and":
-        acc = _eval(index, node.children[0])
+        acc = _eval(index, node.children[0], normalize)
         first_negative = node.children[0].is_negative
         for comp in node.children[1:]:
-            p2 = _eval(index, comp)
+            p2 = _eval(index, comp, normalize)
             if first_negative:
                 acc = p2.join(acc.select("doc_id"), "doc_id", "left_anti")
             if comp.is_negative:
@@ -112,17 +117,24 @@ def _eval(index: SparkIndex, node: Node) -> DataFrame:
                 acc = acc.join(p2.select("doc_id"), "doc_id", "left_semi")
         return acc
     if node.kind == "or":
-        acc = _eval(index, node.children[0]).select("doc_id")
+        acc = _eval(index, node.children[0], normalize).select("doc_id")
         for comp in node.children[1:]:
-            acc = acc.unionByName(_eval(index, comp).select("doc_id"))
+            acc = acc.unionByName(_eval(index, comp, normalize).select("doc_id"))
         return acc.distinct()
     raise ValueError(node.kind)
 
 
-def boolean_query(index: SparkIndex, query: str) -> DataFrame:
+def boolean_query(index: SparkIndex, query: str, normalize=None) -> DataFrame:
     """Evaluate a boolean query; returns DataFrame(doc_id) in canonical
     sorted order (the reference's set() print order is nondeterministic,
-    main.py:420-426 — SURVEY.md §7 canonicalizes to sorted doc_id)."""
+    main.py:420-426 — SURVEY.md §7 canonicalizes to sorted doc_id).
+
+    ``normalize`` maps a raw query literal to an index term; defaults to
+    the reference analyzer's boolean-mode rules. Pass
+    ``simple.simple_query_term`` for indexes built with the simple
+    analyzer.
+    """
+    normalize = normalize or boolean_query_term
     spark = index.postings.sparkSession
     node = parse_boolean_query(query)
     if node is None:
@@ -130,16 +142,22 @@ def boolean_query(index: SparkIndex, query: str) -> DataFrame:
     # Biword fast path: entire query is one 2-term phrase (main.py:413-418)
     if node.kind == "phrase" and len(node.term.split(" ")) == 2:
         t1, t2 = node.term.split(" ")
-        key = process_token(t1)[0] + " " + process_token(t2)[0]
+        key = normalize(t1) + " " + normalize(t2)
         return (
             term_filter(index.biword, [key], index.term_buckets)
             .select("doc_id")
             .distinct()
             .orderBy("doc_id")
         )
-    return _eval(index, node).select("doc_id").distinct().orderBy("doc_id")
+    return _eval(index, node, normalize).select("doc_id").distinct().orderBy("doc_id")
 
 
-def phrase_query_positional(index: SparkIndex, phrase: str) -> DataFrame:
+def phrase_query_positional(index: SparkIndex, phrase: str, normalize=None) -> DataFrame:
     """Force the positional-merge path (bypasses the biword rewrite)."""
-    return _eval_phrase(index, phrase).select("doc_id").distinct().orderBy("doc_id")
+    normalize = normalize or boolean_query_term
+    return (
+        _eval_phrase(index, phrase, normalize)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

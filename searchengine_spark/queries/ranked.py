@@ -35,13 +35,18 @@ STRATEGIES = ("default", "tfidf", "bm25", "wacky")
 PRUNE_THRESHOLDS = {"default": 1.1, "bm25": 0.4}
 
 
-def query_rank_terms(query: str) -> dict[str, int]:
+def query_rank_terms(query: str, normalize=None) -> dict[str, int]:
     """raw query -> {index term: multiplicity}. Multiplicity >1 happens
     when two distinct raw terms normalize to the same index term — the
-    reference then accumulates that term's postings twice."""
+    reference then accumulates that term's postings twice.
+
+    ``normalize`` defaults to the reference rank-mode rules
+    (termliteral.py:36-42); pass ``simple.simple_query_term`` for
+    simple-analyzer indexes."""
+    normalize = normalize or term_for_rank_mode
     counts: Counter[str] = Counter()
     for raw in set(query.split(" ")):
-        term = term_for_rank_mode(raw)
+        term = normalize(raw)
         if term:
             counts[term] += 1
     return dict(counts)
@@ -94,13 +99,14 @@ def rank_topk(
     strategy: str = "bm25",
     k: int = 10,
     prune: bool = False,
+    normalize=None,
 ) -> DataFrame:
     """Return DataFrame(doc_id, score) — top-k, ties broken doc_id desc.
 
     ``prune=True`` applies the vocab-elimination wqt threshold (S7)
     before touching postings — the scalar degenerate case of WAND.
     """
-    terms = query_rank_terms(query)
+    terms = query_rank_terms(query, normalize)
     n_docs, avg_dl = index.corpus_scalars()
     spark = index.postings.sparkSession
     if not terms:

@@ -1,0 +1,141 @@
+"""Block-max WAND top-k over compressed segments — the scale path for
+BM25 ranked retrieval (north rule: "BM25 top-k scoring with block-max
+WAND posting-list intersection as a DataFrame pipeline").
+
+The reference's only pruning is the scalar vocab-elimination wqt
+threshold (/root/reference/vocab_elimination_main_precision_demo.py:142,171);
+block-max WAND generalizes it to per-block score upper bounds
+(Broder et al. CIKM'03; Ding & Suel SIGIR'11 — see PAPERS.md).
+
+Safe two-phase plan, everything a DataFrame op:
+
+1. **Upper bounds** (metadata only — no posting decode): for each
+   (term, block) of the query's terms, ``ub = wqt · wdt_max`` where
+   ``wdt_max`` plugs the block's ``max_tftd`` and ``min_doc_length``
+   into the BM25 wdt (wdt is increasing in tftd, decreasing in
+   doc_length). Block totals ``UB(block) = Σ_terms ub`` overestimate
+   every doc's score in that block.
+2. **Champion pass**: decode only the top ``champion_blocks`` blocks by
+   UB (enough to cover ≥ k docs), score exactly, take the k-th best
+   exact score as threshold θ.
+3. **Pruned pass**: decode + score ONLY blocks with ``UB ≥ θ``; blocks
+   below θ cannot contain a top-k doc (their every doc scores < θ ≤
+   current k-th). Final top-k over the survivors.
+
+The pruned pass re-scores champion blocks too — idempotent, and keeps
+the plan a single decode→score pipeline. Exactness is asserted against
+the unpruned ``rank_topk`` in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.segments import decode_postings
+from .ranked import query_rank_terms
+
+K1, B = 1.2, 0.75
+
+
+def _bm25_wqt(n_docs: float):
+    dft = F.col("dft").cast("double")
+    return F.greatest(F.lit(0.1), F.log((F.lit(n_docs) - dft + 0.5) / (dft + 0.5)))
+
+
+def bm25_wdt_expr(tftd_col, dl_col, avg_dl: float):
+    """(k1+1)·tftd / (k1·(0.25 + 0.75·dl/avgdl) + tftd) — the exact
+    reference constants (ranked_strategy.py:134-135: 1.2·(0.25+0.75·…))."""
+    tftd = tftd_col.cast("double")
+    denom = F.lit(K1) * (F.lit(0.25) + F.lit(0.75) * dl_col / F.lit(avg_dl)) + tftd
+    return F.lit(K1 + 1.0) * tftd / denom
+
+
+def wand_topk(
+    index,
+    segments: DataFrame,
+    query: str,
+    k: int = 10,
+    normalize=None,
+    term_buckets: int | None = None,
+    champion_blocks: int = 8,
+) -> DataFrame:
+    """BM25 top-k via block-max WAND. ``index`` supplies doc/corpus
+    stats; ``segments`` is the compressed block table. Returns
+    DataFrame(doc_id, score) with the reference tie-break
+    (score desc, doc_id desc — main.py:463-467)."""
+    spark = segments.sparkSession
+    terms = query_rank_terms(query, normalize)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs, avg_dl = index.corpus_scalars()
+
+    from ..indexing.build import term_filter
+
+    seg = term_filter(segments, list(terms), term_buckets).select(
+        "term", "block", "df_block", "max_tftd", "min_doc_length",
+        "docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
+    )
+    seg = seg.cache()
+
+    # term-level dft = Σ blocks df_block; wqt per term
+    dft = seg.groupBy("term").agg(F.sum("df_block").alias("dft"))
+    mult = spark.createDataFrame(
+        [(t, float(m)) for t, m in terms.items()], "term string, mult double"
+    )
+    wq = (
+        dft.withColumn("wqt", _bm25_wqt(float(n_docs)))
+        .join(mult, "term")
+        .select("term", (F.col("wqt") * F.col("mult")).alias("wqt"))
+    )
+
+    # 1. per-block upper bounds from metadata only
+    block_ub = (
+        seg.join(F.broadcast(wq), "term")
+        .withColumn(
+            "ub_t",
+            F.col("wqt")
+            * bm25_wdt_expr(F.col("max_tftd"), F.col("min_doc_length"), avg_dl),
+        )
+        .groupBy("block")
+        .agg(F.sum("ub_t").alias("ub"), F.sum("df_block").alias("docs_in_block"))
+    ).cache()
+
+    # 2. champion blocks: smallest set of top-UB blocks covering ≥ k docs
+    champs = block_ub.orderBy(F.desc("ub")).limit(max(champion_blocks, 1)).collect()
+    covered, champ_ids = 0, []
+    for r in champs:
+        champ_ids.append(r["block"])
+        covered += r["docs_in_block"]
+        if covered >= k:
+            break
+
+    def exact_scores(seg_subset: DataFrame) -> DataFrame:
+        postings = decode_postings(seg_subset, list(terms),
+                                   term_buckets=None, with_positions=False)
+        return (
+            postings.join(F.broadcast(wq), "term")
+            .join(index.doc_stats.select("doc_id", "doc_length"), "doc_id")
+            .withColumn(
+                "contrib",
+                F.col("wqt")
+                * bm25_wdt_expr(F.col("tftd"), F.col("doc_length"), avg_dl),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+
+    champ_scores = exact_scores(seg.filter(F.col("block").isin(champ_ids)))
+    kth = (
+        champ_scores.orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+        .agg(F.min("score").alias("kth"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    theta = float(kth["kth"]) if kth["n"] is not None and kth["n"] >= k else float("-inf")
+
+    # 3. prune blocks whose UB < θ, score survivors exactly
+    keep_blocks = block_ub.filter(F.col("ub") >= F.lit(theta)).select("block")
+    survivors = seg.join(F.broadcast(keep_blocks), "block")
+    final = exact_scores(survivors)
+    return final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)

@@ -1,0 +1,123 @@
+"""Segments (delta+VB, block-split) and block-max WAND tests.
+
+Correctness contracts:
+* codec roundtrip (property-style over seeded random arrays);
+* segments decode == uncompressed postings (full equality);
+* WAND top-k == unpruned rank_topk BM25 top-k (rank-identical with the
+  (score desc, doc_id desc) tie-break) — pruning must be lossless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.indexing.build import build_index
+from searchengine_spark.indexing.segments import (
+    build_segments,
+    decode_postings,
+    read_segments,
+    write_segments,
+)
+from searchengine_spark.indexing.vb import (
+    delta_decode,
+    delta_encode,
+    vb_decode,
+    vb_encode,
+)
+from searchengine_spark.queries.ranked import rank_topk
+from searchengine_spark.queries.wand import wand_topk
+
+
+def test_vb_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(0, 60))
+        vals = rng.integers(0, 1 << int(rng.integers(1, 40)), size=n)
+        assert (vb_decode(vb_encode(vals)) == vals).all()
+
+
+def test_vb_reference_convention():
+    # final byte of each number is +128 (diskindexwriter.py:9-17)
+    assert vb_encode([5]) == bytes([5 + 128])
+    assert vb_encode([300]) == bytes([300 // 128, 300 % 128 + 128])
+    assert list(vb_decode(bytes([2, 44 + 128]))) == [300]
+
+
+def test_delta_roundtrip():
+    arr = np.array([3, 7, 7 + 100, 500, 501])
+    assert (delta_decode(delta_encode(arr)) == arr).all()
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs).cache()
+    idx.postings.count()
+    return idx
+
+
+def test_segments_roundtrip(spark, corpus_index):
+    idx = corpus_index
+    seg = build_segments(idx.postings, idx.doc_stats, block_span=64)
+    terms = ["tabl", "scan", "dup"]
+    decoded = decode_postings(seg, terms).select(
+        "term", "doc_id", "tftd", "positions"
+    )
+    orig = idx.postings.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", "tftd", "positions"
+    )
+    d = {(r["term"], r["doc_id"]): (r["tftd"], list(r["positions"]))
+         for r in decoded.collect()}
+    o = {(r["term"], r["doc_id"]): (r["tftd"], list(r["positions"]))
+         for r in orig.collect()}
+    assert d == o and len(d) > 0
+
+
+def test_segments_block_split(spark, corpus_index):
+    idx = corpus_index
+    seg = build_segments(idx.postings, idx.doc_stats, block_span=64)
+    rows = seg.filter(F.col("term") == "tabl").collect()
+    # 500 docs / span 64 → multiple blocks for a head term
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["df_block"] <= 64
+        assert r["max_tftd"] >= 1
+
+
+def test_segments_write_read(spark, corpus_index, tmp_path):
+    idx = corpus_index
+    path = str(tmp_path / "segidx")
+    write_segments(idx.postings, idx.doc_stats, path, block_span=128,
+                   term_buckets=8)
+    seg, meta = read_segments(spark, path)
+    assert meta["block_span"] == 128
+    decoded = decode_postings(seg, ["scan"], term_buckets=8)
+    orig_n = idx.postings.filter(F.col("term") == "scan").count()
+    assert decoded.count() == orig_n
+
+
+@pytest.mark.parametrize("query", ["table scan merge", "dup stream", "camping"])
+def test_wand_matches_unpruned_bm25(spark, corpus_index, query):
+    idx = corpus_index
+    seg = build_segments(idx.postings, idx.doc_stats, block_span=64)
+    expected = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_topk(idx, query, "bm25", 10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(idx, seg, query, 10, champion_blocks=2).collect()
+    ]
+    assert got == expected
+
+
+def test_wand_prunes_blocks(spark, corpus_index):
+    """θ from the champion pass must actually drop low-UB blocks for a
+    selective query on this corpus (sanity that pruning engages)."""
+    idx = corpus_index
+    seg = build_segments(idx.postings, idx.doc_stats, block_span=16)
+    # rare term 'dup' + head term: k=1 forces a high θ
+    top = wand_topk(idx, seg, "dup", 1, champion_blocks=4).collect()
+    assert len(top) == 1
