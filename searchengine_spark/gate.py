@@ -476,7 +476,598 @@ ORACLE_SQL["rank_bm25_pruned"] = _rank_sql("bm25", ["table", "dup"],
 
 
 # ---------------------------------------------------------------------------
-# 5. Reference-analyzer (stemmed, quirk-exact) entries — rows-only checks:
+# 5. Training-data pipeline ops: dedup / similarity / text analysis
+#    (SURVEY.md scope extension; all engine-portable hashing via md5)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLE_CTE = """
+, shingle AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+_MH = ", ".join(
+    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    for i in range(8)
+)
+SQL_SIG_CTE = SQL_SHINGLE_CTE + f"""
+, sig AS (
+  SELECT doc_id, {_MH} FROM shingle GROUP BY doc_id
+)
+"""
+
+_ANY_MATCH = " OR ".join(f"x.mh{i} = y.mh{i}" for i in range(8))
+_N_MATCHES = " + ".join(f"(x.mh{i} = y.mh{i})::INT" for i in range(8))
+SQL_CAND_CTE = SQL_SIG_CTE + f"""
+, cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         ({_N_MATCHES})::BIGINT AS n_matches
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({_ANY_MATCH})
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    from .ops.dedup import exact_duplicates
+
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_sig",
+    SQL_PREFIX + SQL_SIG_CTE + "SELECT * FROM sig",
+)
+def dedup_minhash_sig(spark, sf_dir):
+    from .ops.dedup import minhash_signatures
+
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    SQL_PREFIX + SQL_CAND_CTE + """
+SELECT doc_a, doc_b, n_matches FROM cand WHERE n_matches >= 2
+""",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    from .ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sig, min_matches=2).select(
+        "doc_a", "doc_b", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
+@register(
+    "dedup_jaccard",
+    SQL_PREFIX + SQL_CAND_CTE + """
+, inter AS (
+  SELECT ca.doc_a, ca.doc_b, count(*)::BIGINT AS n_common
+  FROM (SELECT doc_a, doc_b FROM cand WHERE n_matches >= 2) ca
+  JOIN shingle sa ON sa.doc_id = ca.doc_a
+  JOIN shingle sb ON sb.doc_id = ca.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingle GROUP BY 1)
+SELECT i.doc_a, i.doc_b,
+       floor(i.n_common / (za.n + zb.n - i.n_common)::DOUBLE * 1e6)::BIGINT
+         AS jaccard_e6
+FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+             JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_common / (za.n + zb.n - i.n_common)::DOUBLE >= 0.5
+""",
+)
+def dedup_jaccard(spark, sf_dir):
+    from .ops.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs), min_matches=2)
+    return jaccard_verify(docs, cand, threshold=0.5).select(
+        "doc_a", "doc_b", _e6(F.col("jaccard")).alias("jaccard_e6")
+    )
+
+
+@register(
+    "dedup_simhash",
+    SQL_PREFIX + """
+, wordtf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tftd FROM tok GROUP BY 1, 2
+),
+wh AS (
+  SELECT doc_id, tftd,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM wordtf
+),
+bits AS (
+  SELECT doc_id, t.b, sum(tftd * (((h >> t.b) & 1) * 2 - 1)) AS s
+  FROM wh CROSS JOIN range(0, 32) t(b) GROUP BY 1, 2
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+  AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    from .ops.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()
+    )
+    return [float(v) for v in row[0]["embedding"]]
+
+
+@register(
+    "sim_bruteforce_topk",
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+expq AS (
+  SELECT generate_subscripts(qv, 1) AS i, unnest(qv)::DOUBLE AS qval FROM q
+),
+expe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE vec_id <> 0
+),
+dots AS (
+  SELECT vec_id, sum(v * qval) AS dot, sum(v * v) AS nv
+  FROM expe JOIN expq USING (i) GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq)
+SELECT vec_id, floor(dot / (sqrt(nv) * qnorm) * 1e6)::BIGINT AS cosine_e6
+FROM dots, qn
+ORDER BY dot / (sqrt(nv) * qnorm) DESC, vec_id ASC LIMIT 10
+""",
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    from .ops.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = brute_force_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+    return top.select("vec_id", _e6(F.col("cosine")).alias("cosine_e6"))
+
+
+@register(
+    "sim_lsh_buckets",
+    """
+SELECT vec_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)::BIGINT
+         AS bucket
+FROM (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+) WHERE i <= 16 GROUP BY vec_id
+""",
+)
+def sim_lsh_buckets(spark, sf_dir):
+    from .ops.similarity import with_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return with_lsh_buckets(emb, nbits=16).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "bucket"
+    )
+
+
+@register(
+    "sim_ann_topk",
+    """
+WITH bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v
+    FROM embeddings
+  ) WHERE i <= 4 GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+expq AS (
+  SELECT generate_subscripts(qv, 1) AS i, unnest(qv)::DOUBLE AS qval FROM q
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN bkt ON bkt.vec_id = e.vec_id
+  JOIN qb ON bkt.bucket = qb.bucket
+  WHERE e.vec_id <> 0
+),
+expe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM cand
+),
+dots AS (
+  SELECT vec_id, sum(v * qval) AS dot, sum(v * v) AS nv
+  FROM expe JOIN expq USING (i) GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq)
+SELECT vec_id, floor(dot / (sqrt(nv) * qnorm) * 1e6)::BIGINT AS cosine_e6
+FROM dots, qn
+ORDER BY dot / (sqrt(nv) * qnorm) DESC, vec_id ASC LIMIT 10
+""",
+)
+def sim_ann_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN, 4 bits (≈16 buckets — sized so sandbox
+    tables keep >k candidates per bucket; at warehouse scale nbits
+    grows with n and the bucket column becomes a partition key)."""
+    from .ops.similarity import ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    top = ann_topk(emb, _query_vec(spark, sf_dir), k=10, nbits=4)
+    return top.select("vec_id", _e6(F.col("cosine")).alias("cosine_e6"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS alnum_tokens,
+       strlen(text)::BIGINT AS n_chars
+FROM documents
+""",
+)
+def text_token_counts(spark, sf_dir):
+    from .ops.textstats import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    from .ops.textstats import LANG_ORDER, LANG_STOPWORDS
+
+    hits = ", ".join(
+        "count(CASE WHEN term IN ({}) THEN 1 END)::BIGINT AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang
+        )
+        for lang in LANG_ORDER
+    )
+    cols = ", ".join(f"s_{lang}" for lang in LANG_ORDER)
+    first_max = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return (
+        SQL_PREFIX
+        + f"""
+, l AS (SELECT doc_id, {hits} FROM tok GROUP BY doc_id),
+m AS (SELECT doc_id, {cols}, greatest({cols}) AS best FROM l)
+SELECT doc_id, CASE {first_max} END AS pred_lang, best AS hits FROM m
+"""
+    )
+
+
+@register("text_lang_id")
+def text_lang_id(spark, sf_dir):
+    from .ops.textstats import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SQL["text_lang_id"] = _langid_sql()
+
+
+@register(
+    "text_quality",
+    SQL_PREFIX + """
+, tstats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(strlen(term))::DOUBLE AS tok_chars,
+         count(CASE WHEN term IN ('the','a','and','of','to','in','is','it',
+                                  'you','that') THEN 1 END)::DOUBLE AS sw
+  FROM tok GROUP BY doc_id
+),
+f AS (
+  SELECT t.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+         coalesce(s.tok_chars, 0) / greatest(coalesce(s.n_tokens, 0), 1)
+           AS mean_tok_len,
+         coalesce(s.sw, 0) / greatest(coalesce(s.n_tokens, 0), 1)
+           AS stopword_ratio,
+         strlen(regexp_replace(t.text, '[^a-zA-Z0-9]', '', 'g'))
+           / greatest(strlen(t.text), 1)::DOUBLE AS alnum_ratio
+  FROM tokarr t LEFT JOIN tstats s USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       floor(mean_tok_len * 1e6)::BIGINT AS mean_tok_len_e6,
+       floor(stopword_ratio * 1e6)::BIGINT AS stopword_ratio_e6,
+       floor(alnum_ratio * 1e6)::BIGINT AS alnum_ratio_e6,
+       (n_tokens >= 5 AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+        AND alnum_ratio >= 0.5)::BIGINT AS quality_pass
+FROM f
+""",
+)
+def text_quality(spark, sf_dir):
+    from .ops.textstats import quality_scores
+
+    q = quality_scores(load_table(spark, sf_dir, "documents"))
+    return q.select(
+        "doc_id", "n_tokens",
+        _e6(F.col("mean_tok_len")).alias("mean_tok_len_e6"),
+        _e6(F.col("stopword_ratio")).alias("stopword_ratio_e6"),
+        _e6(F.col("alnum_ratio")).alias("alnum_ratio_e6"),
+        F.col("quality_pass").cast("long").alias("quality_pass"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    SQL_PREFIX + """
+SELECT doc_id,
+       sum((('0x' || substr(md5(term), 1, 15))::BIGINT % 1000000007)
+           * (((pos - 1) % 997) + 1))::BIGINT AS fingerprint
+FROM tok GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    from .ops.textstats import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# 6. Classification extras (SURVEY.md §2.6, C1-C4; class = lang)
+# ---------------------------------------------------------------------------
+
+SQL_CLS_CTES = """
+, labeled AS (SELECT doc_id, lang AS cls FROM documents),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+n11 AS (
+  SELECT term, cls, count(*)::DOUBLE AS n11
+  FROM td JOIN labeled USING (doc_id) GROUP BY 1, 2
+),
+termdf AS (SELECT term, sum(n11) AS term_df FROM n11 GROUP BY 1),
+clsn AS (SELECT cls, count(*)::DOUBLE AS nc FROM labeled GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS N FROM documents),
+mi AS (
+  SELECT a.cls, a.term,
+    (CASE WHEN a.n11 > 0 AND t.term_df > 0 AND c.nc > 0
+      THEN (a.n11 / s.N) * log2(s.N * a.n11 / (t.term_df * c.nc)) ELSE 0 END)
+  + (CASE WHEN (t.term_df - a.n11) > 0 AND t.term_df > 0 AND (s.N - c.nc) > 0
+      THEN ((t.term_df - a.n11) / s.N)
+           * log2(s.N * (t.term_df - a.n11) / (t.term_df * (s.N - c.nc)))
+      ELSE 0 END)
+  + (CASE WHEN (c.nc - a.n11) > 0 AND (s.N - t.term_df) > 0 AND c.nc > 0
+      THEN ((c.nc - a.n11) / s.N)
+           * log2(s.N * (c.nc - a.n11) / ((s.N - t.term_df) * c.nc))
+      ELSE 0 END)
+  + (CASE WHEN (s.N - c.nc - t.term_df + a.n11) > 0
+           AND (s.N - t.term_df) > 0 AND (s.N - c.nc) > 0
+      THEN ((s.N - c.nc - t.term_df + a.n11) / s.N)
+           * log2(s.N * (s.N - c.nc - t.term_df + a.n11)
+                  / ((s.N - t.term_df) * (s.N - c.nc)))
+      ELSE 0 END) AS mi
+  FROM n11 a JOIN termdf t USING (term) JOIN clsn c USING (cls) CROSS JOIN tot s
+)
+"""
+
+
+@register(
+    "classify_mi",
+    SQL_PREFIX + SQL_CLS_CTES
+    + "SELECT cls AS class, term, round(mi * 1e6)::BIGINT AS mi_e6 FROM mi",
+)
+def classify_mi(spark, sf_dir):
+    """C1: mutual-information feature scores per (class, term)."""
+    from .ops.classify import mi_scores
+
+    return mi_scores(load_table(spark, sf_dir, "documents")).select(
+        "class", "term", F.round(F.col("mi") * F.lit(float(E6))).cast("long").alias("mi_e6")
+    )
+
+
+@register(
+    "classify_nb",
+    SQL_PREFIX + SQL_CLS_CTES + """
+, feats AS (
+  SELECT DISTINCT term FROM (
+    SELECT cls, term,
+           row_number() OVER (PARTITION BY cls ORDER BY mi DESC, term ASC) AS rk
+    FROM mi
+  ) WHERE rk <= 50
+),
+nfeat AS (SELECT count(*)::DOUBLE AS nf FROM feats),
+tdf AS (SELECT td.doc_id, td.term FROM td JOIN feats USING (term)),
+dftc AS (
+  SELECT l.cls, t.term, count(*)::DOUBLE AS df_tc
+  FROM tdf t JOIN labeled l USING (doc_id) GROUP BY 1, 2
+),
+clstot AS (SELECT cls, sum(df_tc) AS sum_df FROM dftc GROUP BY 1),
+cond AS (
+  SELECT c.cls, f.term,
+         log10((coalesce(d.df_tc, 0) + 1)
+               / (coalesce(ct.sum_df, 0) + nf.nf)) AS logp
+  FROM clsn c CROSS JOIN feats f CROSS JOIN nfeat nf
+  LEFT JOIN dftc d ON d.cls = c.cls AND d.term = f.term
+  LEFT JOIN clstot ct ON ct.cls = c.cls
+),
+priors AS (
+  SELECT c.cls, log10(c.nc / s.N) AS log_prior FROM clsn c CROSS JOIN tot s
+),
+scores AS (
+  SELECT t.doc_id, co.cls, sum(co.logp) + any_value(p.log_prior) AS score
+  FROM tdf t JOIN cond co USING (term) JOIN priors p ON p.cls = co.cls
+  GROUP BY t.doc_id, co.cls
+)
+SELECT doc_id, cls AS pred_class FROM (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM scores
+) WHERE rn = 1
+""",
+)
+def classify_nb(spark, sf_dir):
+    """C2: Naive Bayes prediction per document."""
+    from .ops.classify import nb_classify
+
+    return nb_classify(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_class"
+    )
+
+
+@register(
+    "classify_rocchio",
+    SQL_PREFIX + """
+, labeled AS (SELECT doc_id, lang AS cls FROM documents),
+tfd AS (SELECT doc_id, term, count(*)::DOUBLE AS tftd FROM tok GROUP BY 1, 2),
+wdt AS (SELECT doc_id, term, 1 + ln(tftd) AS wdt FROM tfd),
+ld AS (SELECT doc_id, sqrt(sum(wdt * wdt)) AS ld FROM wdt GROUP BY 1),
+nv AS (
+  SELECT w.doc_id, w.term, w.wdt / l.ld AS v
+  FROM wdt w JOIN ld l USING (doc_id)
+),
+nc AS (SELECT cls, count(*)::DOUBLE AS n FROM labeled GROUP BY 1),
+centroid AS (
+  SELECT l.cls, t.term, sum(t.v) / any_value(c.n) AS c
+  FROM nv t JOIN labeled l USING (doc_id) JOIN nc c ON c.cls = l.cls
+  GROUP BY l.cls, t.term
+),
+cn AS (SELECT cls, sum(c * c) AS cn2 FROM centroid GROUP BY 1),
+dots AS (
+  SELECT q.doc_id, ce.cls, sum(q.v * ce.c) AS dot
+  FROM nv q JOIN centroid ce USING (term) GROUP BY 1, 2
+),
+dist AS (
+  SELECT d.doc_id, d.cls, 1 + n.cn2 - 2 * d.dot AS dist2
+  FROM dots d JOIN cn n USING (cls)
+)
+SELECT doc_id, cls AS pred_class FROM (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist2 ASC, cls ASC) AS rn
+  FROM dist
+) WHERE rn = 1
+""",
+)
+def classify_rocchio(spark, sf_dir):
+    """C3: nearest-centroid prediction (train = test = documents —
+    resubstitution, deterministic)."""
+    from .ops.classify import rocchio_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rocchio_classify(docs, docs)
+
+
+@register(
+    "classify_knn",
+    SQL_PREFIX + """
+, labeled AS (SELECT doc_id, lang AS cls FROM documents),
+tfd AS (SELECT doc_id, term, count(*)::DOUBLE AS tftd FROM tok GROUP BY 1, 2),
+wdt AS (SELECT doc_id, term, 1 + ln(tftd) AS wdt FROM tfd),
+ld AS (SELECT doc_id, sqrt(sum(wdt * wdt)) AS ld FROM wdt GROUP BY 1),
+nv AS (
+  SELECT w.doc_id, w.term, w.wdt / l.ld AS v
+  FROM wdt w JOIN ld l USING (doc_id)
+),
+dots AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS t_id, sum(a.v * b.v) AS dot
+  FROM nv a JOIN nv b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT doc_id, t_id, 2 - 2 * dot AS dist2,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY 2 - 2 * dot ASC, t_id ASC) AS rn
+  FROM dots
+),
+votes AS (
+  SELECT n.doc_id, l.cls, count(*)::BIGINT AS votes, sum(n.dist2) AS sumd
+  FROM nn n JOIN labeled l ON l.doc_id = n.t_id
+  WHERE n.rn <= 5 GROUP BY 1, 2
+)
+SELECT doc_id, cls AS pred_class FROM (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY votes DESC, sumd ASC, cls ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
+)
+def classify_knn(spark, sf_dir):
+    """C4: 5-NN majority-vote prediction (resubstitution, self
+    excluded)."""
+    from .ops.classify import knn_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return knn_classify(docs, docs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# 7. Eval harness / multimodal / soundex — rows-only (non-SQL surfaces)
+# ---------------------------------------------------------------------------
+
+EVAL_QUERIES = ("table scan", "query window", "dup stream", "hash join sort",
+                "customer line value")
+
+
+@register("eval_map")
+def eval_map(spark, sf_dir):
+    """MAP/latency harness (main_precision_recall_all_queries.py port)
+    over boolean-AND relevance oracles; one row per query + MAP row."""
+    from .eval.metrics import evaluate_ranking, synthetic_qrels
+    from .queries.ranked import rank_topk
+
+    idx = simple_index(spark, sf_dir)
+    qrels = synthetic_qrels(idx, EVAL_QUERIES, normalize=simple_query_term)
+    res = evaluate_ranking(
+        lambda q: rank_topk(idx, q, "bm25", 50, normalize=simple_query_term),
+        EVAL_QUERIES, qrels, k=50,
+    )
+    rows = [(q, int(res["ap_per_query"][q] * E6)) for q in EVAL_QUERIES]
+    rows.append(("__map__", int(res["map"] * E6)))
+    return spark.createDataFrame(rows, "query string, ap_e6 long")
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction plumbing: deterministic
+    synthetic rasters → mapInPandas mean/std/histogram features."""
+    from .ops.multimodal import extract_features, media_df
+
+    feats = extract_features(media_df(spark, 64, partitions=4))
+    return feats.select(
+        "media_id", "kind",
+        _e6(F.element_at("features", 1)).alias("mean_e6"),
+        _e6(F.element_at("features", 2)).alias("std_e6"),
+    )
+
+
+@register("ref_soundex_vocab")
+def ref_soundex_vocab(spark, sf_dir):
+    """C5/T5: reference-quirk soundex over the vocabulary (the author-
+    search index key; soundexcode.py:4-38 parity is pytest-verified)."""
+    import pandas as pd
+
+    from .text.tokenizer import soundex
+
+    soundex_udf = F.pandas_udf(
+        lambda terms: terms.map(soundex), "string"
+    )
+
+    idx = simple_index(spark, sf_dir)
+    vocab = idx.postings.select("term").distinct()
+    return vocab.select("term", soundex_udf("term").alias("soundex"))
+
+
+# ---------------------------------------------------------------------------
+# 8. Reference-analyzer (stemmed, quirk-exact) entries — rows-only checks:
 #    DuckDB cannot Porter2-stem offline, so parity for these paths is
 #    asserted by tests/ against the pure-Python oracle instead.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,191 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash + LSH banding, SimHash, and n-gram
+Jaccard verification — all pure JVM DataFrame ops (no Python UDFs).
+
+Scale notes
+-----------
+* Exact dedup is one shuffle on md5(text) — unskewed unless the corpus
+  contains a single massively-duplicated document; AQE skew-join
+  handles that tail.
+* MinHash: shingling + hashing stays in whole-stage codegen
+  (``transform``/``md5``/``conv``); the signature is a single
+  groupBy(doc_id) with 2·H partial-aggregated mins. LSH banding turns
+  all-pairs O(n²) into a self-join on (band, band_hash) buckets —
+  the standard shingle→minhash→band→bucket-join pipeline.
+* Candidate pairs are verified with exact shingle-set Jaccard (a
+  doc_id↔doc_id shingle join), so false LSH positives are filtered
+  before any destructive keep/drop decision.
+* Hashes are 60-bit ints derived from md5 hex (DuckDB computes the
+  identical value: ``('0x' || substr(md5(x),1,15))::bigint``), which is
+  what lets the driver's SQL oracle replay every step bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.simple import token_array
+
+
+def h60(col) -> F.Column:
+    """60-bit deterministic hash of a string column via md5 hex —
+    engine-portable (same value in DuckDB/ANSI SQL)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (text_md5, n_docs, keep_doc_id) for groups
+    with >1 member; keep_doc_id = smallest doc_id (stable policy)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams over simple-analyzer
+    tokens, built via array transform — no explode of raw tokens."""
+    ts = token_array(F.col(text_col))
+    shingle_arr = F.expr(
+        f"transform(sequence(1, greatest(size(ts) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', {', '.join(f'ts[i + {j} - 1]' for j in range(n))}))"
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), ts.alias("ts"))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       num_hashes: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}): per-permutation minima of seeded shingle
+    hashes. One shuffle: groupBy(doc_id) with H partial-aggregated
+    mins."""
+    sh = shingles(docs, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            h60(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
+                        min_matches: int = 2) -> DataFrame:
+    """Band the signature (band size 1: each minhash is a band — the
+    high-recall setting), bucket-join on equal band values, then keep
+    pairs agreeing on ≥ min_matches of the H minhashes.
+
+    Returns (doc_a, doc_b, n_matches, est_jaccard) with doc_a < doc_b.
+    est_jaccard = n_matches / H is the standard MinHash estimate.
+    """
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("val"))
+                for i in range(num_hashes)
+            ])
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.val") == F.col("y.val"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("n_matches", matches.cast("long"))
+        .filter(F.col("n_matches") >= min_matches)
+        .select(
+            "doc_a", "doc_b", "n_matches",
+            (F.col("n_matches") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def jaccard_verify(docs: DataFrame, candidates: DataFrame,
+                   text_col: str = "text", n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs:
+    |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. Returns
+    (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    sh = shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): tftd-weighted sign aggregation of word-hash
+    bits — near-dup fingerprint in one explode + two aggregations, all
+    codegen. Bit b of the result is 1 iff
+    Σ_words tftd·(2·bit_b(h(word))−1) > 0."""
+    tok = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.explode(token_array(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tftd"))
+        .withColumn("h", h60(F.col("term")))
+    )
+    contribs = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "tftd", "h",
+    ).withColumn(
+        "w",
+        F.col("tftd") * (F.expr("(shiftright(h, b) & 1) * 2 - 1")),
+    )
+    bitsums = contribs.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        ).cast("long").alias("simhash")
+    )

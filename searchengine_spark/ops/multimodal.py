@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) columns as opaque ``binary`` payloads
+with typed metadata — the Spark-side plumbing (schema, partitioning,
+Arrow batch shape, UDF signatures) is real and tested; the actual
+codec calls (PIL/ffmpeg-class libraries are not in this container) are
+STUBBED behind import guards, with a deterministic synthetic raster
+format standing in so the pipeline is end-to-end verifiable.
+
+Synthetic payload format (deterministic per (seed, media_id)):
+``IMG1`` magic + width·height unsigned bytes row-major (grayscale), so
+"decoding" is a byte reinterpretation — byte-exact across engines and
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"IMG1"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synth_payload(media_id: int, seed: int = 42, width: int = 32,
+                  height: int = 32) -> bytes:
+    """Deterministic pseudo-image: sha256-seeded byte raster."""
+    out = bytearray(MAGIC)
+    counter = 0
+    need = width * height
+    while len(out) - len(MAGIC) < need:
+        h = hashlib.sha256(f"{seed}:{media_id}:{counter}".encode()).digest()
+        out.extend(h)
+        counter += 1
+    return bytes(out[: len(MAGIC) + need])
+
+
+def media_df(spark: SparkSession, n: int, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic media table (spark.range → mapInPandas,
+    same generator-scales-out property as corpus.pages_df)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "payload": synth_payload(i, seed),
+                        "meta": {
+                            "width": 32,
+                            "height": 32,
+                            "channels": 1,
+                            "sample_rate": 16000 if kind == "audio" else 0,
+                            "n_frames": 8 if kind == "video" else 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_raster(payload: bytes, width: int, height: int) -> np.ndarray:
+    if bytes(payload[:4]) != MAGIC:
+        raise ValueError("not a synthetic IMG1 payload")
+    arr = np.frombuffer(bytes(payload[4:4 + width * height]), dtype=np.uint8)
+    return arr.reshape(height, width)
+
+
+def decode_real_image(payload: bytes) -> "np.ndarray":
+    """Real-codec path — STUB: PIL is not available in this container.
+    The call site (extract_features) only touches it for payloads that
+    are not the synthetic format."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image codec unavailable in this environment; synthetic IMG1 "
+            "payloads exercise the full Spark plumbing instead"
+        ) from exc
+    raise NotImplementedError("real decode wiring pending codec availability")
+
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: mean/std + 6-bin histogram per
+    payload → fixed FEATURE_DIM vector. Arrow-batched; numpy per batch."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = _decode_raster(payload, meta["width"], meta["height"]).astype(np.float64)
+                hist, _ = np.histogram(arr, bins=6, range=(0, 256))
+                v = [float(arr.mean()), float(arr.std())] + (
+                    hist / arr.size
+                ).tolist()
+                feats.append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: keep every ``every``-th frame index from
+    meta.n_frames — pure column math (the payload slice per frame would
+    be a byte-range read at real scale; indices are the contract)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize — STUB pending codec availability; the signature and
+    schema contract are the product here."""
+    raise NotImplementedError(
+        "resize requires an image codec not present in this container; "
+        "see extract_features for the Arrow plumbing the real kernel drops into"
+    )

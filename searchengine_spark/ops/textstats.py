@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data curation: token counting,
+n-gram/stopword language ID, quality scoring, and document
+fingerprinting — all whole-stage-codegen column expressions over the
+simple analyzer's token arrays (zero Python on executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indexing.simple import token_array
+from .dedup import h60
+
+# tiny per-language stopword profiles (deterministic heuristic — the
+# lists ARE the model; accuracy is a property of the lists, correctness
+# of the pipeline is what the oracle checks)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "una"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "dans"),
+    "zh": ("de", "shi", "le", "wo", "ni", "ta", "zai", "you", "he", "bu"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")  # deterministic tie order
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, alnum_tokens, n_chars): whitespace-run count
+    vs analyzer-token count — the two standard size measures."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+        .cast("long").alias("ws_tokens"),
+        F.size(token_array(F.col(text_col))).cast("long").alias("alnum_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def _stopword_hits(lang: str) -> F.Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(
+        F.filter(F.col("ts"), lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): argmax of per-language stopword hit counts,
+    ties resolved in fixed LANG_ORDER."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_array(F.col(text_col)).alias("ts"),
+    )
+    scored = base.select(
+        "doc_id",
+        *[_stopword_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    # argmax with deterministic tie order: fold over languages
+    pred = F.lit(LANG_ORDER[0])
+    best = F.col(f"s_{LANG_ORDER[0]}")
+    for lang in LANG_ORDER[1:]:
+        cond = F.col(f"s_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"s_{lang}")).otherwise(best)
+    return scored.select("doc_id", pred.alias("pred_lang"), best.alias("hits"))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality features + pass flag (the thresholds are
+    illustrative constants; the pipeline shape is the product):
+    n_tokens, mean token length, stopword ratio, alnum character ratio.
+    """
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        token_array(F.col(text_col)).alias("ts"),
+    )
+    en = LANG_STOPWORDS["en"]
+    feats = base.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        (
+            F.aggregate("ts", F.lit(0.0), lambda a, t: a + F.length(t))
+            / F.greatest(F.size("ts"), F.lit(1))
+        ).alias("mean_tok_len"),
+        (
+            F.size(F.filter("ts", lambda t: t.isin(*en)))
+            / F.greatest(F.size("ts"), F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[^a-zA-Z0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1)).cast("double")
+        ).alias("alnum_ratio"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_tok_len") >= 2.0) & (F.col("mean_tok_len") <= 12.0)
+        & (F.col("alnum_ratio") >= 0.5)
+    )
+    return feats.withColumn("quality_pass", passes)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 modulus: int = 1_000_000_007) -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling document hash —
+    Σ_i (h60(tok_i) mod M) · ((i mod 997) + 1), folded in int64 (no
+    overflow for docs ≤ ~9·10^3 tokens; mod-reduce per step otherwise).
+    Engine-portable: identical in ANSI SQL."""
+    ts = token_array(F.col(text_col))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(ts).alias("pos0", "term"),
+    )
+    return tok.groupBy("doc_id").agg(
+        F.sum(
+            (h60(F.col("term")) % modulus) * ((F.col("pos0") % 997) + 1)
+        ).cast("long").alias("fingerprint")
+    )
