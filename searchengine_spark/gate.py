@@ -475,6 +475,52 @@ ORACLE_SQL["rank_bm25_pruned"] = _rank_sql("bm25", ["table", "dup"],
                                            wqt_threshold=0.4)
 
 
+def _segments(spark, sf_dir):
+    """Compressed block segments over the simple index (memoized)."""
+    key = (id(spark.sparkContext), sf_dir, "segments")
+    if key not in _CACHE:
+        from .indexing.segments import build_segments
+
+        idx = simple_index(spark, sf_dir)
+        seg = build_segments(idx.postings, idx.doc_stats, block_span=64).cache()
+        _CACHE[key] = seg
+    return _CACHE[key]
+
+
+@register("segments_roundtrip", ORACLE_SQL["index_postings"])
+def segments_roundtrip(spark, sf_dir):
+    """Delta+VB encode → block-split segments → decode must reproduce
+    the postings table exactly (I8/I9 + R1 through compression).
+    Oracle: the SAME SQL as index_postings — the roundtrip is the test."""
+    from .indexing.segments import decode_postings
+
+    idx = simple_index(spark, sf_dir)
+    terms = [r["term"] for r in idx.postings.select("term").distinct().collect()]
+    dec = decode_postings(_segments(spark, sf_dir), terms)
+    return dec.select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tftd").cast("long").alias("tftd"),
+        F.element_at("positions", 1).cast("long").alias("min_pos"),
+        F.element_at("positions", -1).cast("long").alias("max_pos"),
+    )
+
+
+@register("wand_bm25", ORACLE_SQL["rank_bm25"])
+def wand_bm25(spark, sf_dir):
+    """Block-max WAND top-10 — lossless pruning, so it shares
+    rank_bm25's oracle SQL verbatim (identical result contract)."""
+    from .queries.wand import wand_topk
+
+    idx = simple_index(spark, sf_dir)
+    top = wand_topk(idx, _segments(spark, sf_dir), RANK_QUERY, 10,
+                    normalize=simple_query_term, champion_blocks=4)
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Training-data pipeline ops: dedup / similarity / text analysis
 #    (SURVEY.md scope extension; all engine-portable hashing via md5)

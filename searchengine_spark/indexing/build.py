@@ -53,9 +53,19 @@ ANALYZE_SCHEMA = T.StructType(
 )
 
 
+# Worker-process-global token→terms cache: Zipfian text makes the hit
+# rate ≈100% after the first few batches, so each unique surface token
+# is stemmed once per python worker per job — not once per batch.
+# Bounded to keep long-lived workers from growing without limit.
+_TOKEN_CACHE: dict[str, list[str]] = {}
+_TOKEN_CACHE_MAX = 2_000_000
+
+
 def _analyze_batch(texts: pd.Series) -> pd.DataFrame:
     """Analyze one Arrow batch of documents; stems each unique token once."""
-    cache: dict[str, list[str]] = {}
+    cache = _TOKEN_CACHE
+    if len(cache) > _TOKEN_CACHE_MAX:
+        cache.clear()
 
     def cached_processor(tok: str) -> list[str]:
         exp = cache.get(tok)
