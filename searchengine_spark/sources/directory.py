@@ -1,0 +1,107 @@
+"""Directory corpus sources — the Spark rebuild of DirectoryCorpus
+(/root/reference/documents/directorycorpus.py:57-69): a directory of
+``.txt`` or ``.json`` files becomes a documents DataFrame with
+sequential doc_ids 0..N−1.
+
+Reference parity notes:
+* TextFileDocument (textfiledocument.py:6-29): title = filename stem,
+  content = the raw file text, byte size = file size on disk.
+* JsonFileDocument (jsonfiledocument.py:8-70): ``title``/``body``
+  (+ optional ``author``/``url``) keys; content = the body string.
+* Doc-id order: the reference assigns ids in filesystem-glob order
+  (directorycorpus.py:47-55 ``next_id`` counter), which is
+  OS-enumeration-dependent — not reproducible across machines. We
+  canonicalize to SORTED file-path order (documented deviation, same
+  spirit as SURVEY.md §7's dense-rank-over-url decision); on any one
+  machine with sorted enumeration the ids coincide.
+
+Scale: listing happens driver-side (cheap metadata), content reads are
+executor-side via Spark's file sources — ``spark.read.text(...,
+wholetext=True)`` / ``spark.read.json`` with ``input_file_name()``, so
+a 10^6-file corpus reads in parallel. Doc ids come from a broadcast
+path→id map built from the sorted listing, not from any global sort of
+row data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _uri(path: str) -> str:
+    """Match Spark's input_file_name() URI form (file:// + url-quoted)."""
+    from urllib.parse import quote
+
+    return "file://" + quote(os.path.abspath(path))
+
+
+def _list_sorted(path: str, suffix: str) -> list[str]:
+    names = sorted(
+        n for n in os.listdir(path) if n.endswith(suffix)
+    )
+    return [os.path.join(path, n) for n in names]
+
+
+def _with_doc_ids(spark: SparkSession, df: DataFrame, files: list[str]) -> DataFrame:
+    id_map = spark.createDataFrame(
+        [(_uri(p), i, os.path.splitext(os.path.basename(p))[0])
+         for i, p in enumerate(files)],
+        "uri string, doc_id long, stem string",
+    )
+    return df.withColumn("uri", F.input_file_name()).join(
+        F.broadcast(id_map), "uri"
+    )
+
+
+def load_text_directory(spark: SparkSession, path: str,
+                        suffix: str = ".txt") -> DataFrame:
+    """documents(doc_id, title, text, byte_size) from a directory of
+    text files — title = filename stem (textfiledocument.py:15-17)."""
+    files = _list_sorted(path, suffix)
+    if not files:
+        return spark.createDataFrame(
+            [], "doc_id long, title string, text string, byte_size long"
+        )
+    raw = spark.read.text(files, wholetext=True)
+    sized = spark.createDataFrame(
+        [(_uri(p), os.path.getsize(p)) for p in files],
+        "uri string, byte_size long",
+    )
+    return (
+        _with_doc_ids(spark, raw, files)
+        .join(F.broadcast(sized), "uri")
+        .select("doc_id", F.col("stem").alias("title"),
+                F.col("value").alias("text"), "byte_size")
+    )
+
+
+def load_json_directory(spark: SparkSession, path: str,
+                        suffix: str = ".json") -> DataFrame:
+    """documents(doc_id, title, text, author, url, byte_size) from a
+    directory of JSON docs with title/body(+author,url) keys
+    (jsonfiledocument.py:24-66); text = the body string."""
+    files = _list_sorted(path, suffix)
+    if not files:
+        return spark.createDataFrame(
+            [], "doc_id long, title string, text string, author string, "
+                "url string, byte_size long",
+        )
+    raw = spark.read.option("multiLine", "true").json(files)
+    sized = spark.createDataFrame(
+        [(_uri(p), os.path.getsize(p)) for p in files],
+        "uri string, byte_size long",
+    )
+    cols = set(raw.columns)
+    author = F.col("author") if "author" in cols else F.lit(None).cast("string")
+    url = F.col("url") if "url" in cols else F.lit(None).cast("string")
+    return (
+        _with_doc_ids(spark, raw, files)
+        .join(F.broadcast(sized), "uri")
+        .select(
+            "doc_id", F.col("title"), F.col("body").alias("text"),
+            author.alias("author"), url.alias("url"), "byte_size",
+        )
+    )

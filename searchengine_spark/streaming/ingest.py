@@ -1,0 +1,142 @@
+"""Structured-Streaming ingestion: incremental index maintenance over
+an unbounded pages stream.
+
+The reference is strictly batch (SURVEY.md §2.8) — its only "refresh"
+is the REPL's full ``:index <dir>`` rebuild (main.py:261-392). This
+module is the streaming-native generalization a 10^12-doc pipeline
+needs: new pages land continuously, tokenization+posting construction
+run per micro-batch, and the index stays queryable without rebuilds.
+
+Design (delta + compaction, the standard streaming-index shape):
+
+* ``doc_id = stable 63-bit hash of url`` — dense global ranks are
+  incompatible with unbounded streams (any new url would renumber the
+  corpus); every index/query operator here is id-agnostic, only
+  uniqueness and determinism matter. xxhash64 is Spark-native and
+  stable across runs/partitions.
+* Each micro-batch appends ``postings_delta`` / ``doc_stats_delta``
+  parquet (partitioned by batch) via ``foreachBatch`` — append-only,
+  exactly-once per Spark's checkpointed source offsets.
+* ``compact_index`` merges deltas into a consolidated SparkIndex
+  (last-write-wins per (url-hash) doc: re-crawled pages replace their
+  old postings by doc_id identity, since identical urls share an id).
+* ``ingestion_stats`` is the watermarked event-time aggregation
+  (1-minute windows on ``warc_ts``, 2-minute late-data watermark) —
+  the monitoring stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import PAGES_SCHEMA
+from ..indexing.build import SparkIndex, analyze_udf
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of pages parquet drops."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
+    """foreachBatch body: analyze the micro-batch and append deltas."""
+    analyzed = batch.select(
+        F.xxhash64("url").bitwiseAND(F.lit((1 << 63) - 1)).alias("doc_id"),
+        "url",
+        analyze_udf(F.col("text")).alias("a"),
+        F.octet_length("html").cast("double").alias("byte_size"),
+    ).select(
+        "doc_id", "url",
+        F.col("a.terms").alias("terms"),
+        F.col("a.doc_length").alias("doc_length"),
+        F.col("a.biwords").alias("biwords"),
+        "byte_size",
+    )
+    (
+        analyzed.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(f"{root}/analyzed_delta")
+    )
+
+
+def start_incremental_index(spark: SparkSession, input_dir: str, root: str,
+                            available_now: bool = True):
+    """Run the ingestion stream; ``available_now=True`` drains what's
+    there and stops (test/backfill mode), else runs continuously."""
+    stream = stream_pages(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: _index_batch(b, i, root)
+        )
+        .option("checkpointLocation", f"{root}/_checkpoint")
+        .outputMode("append")
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
+
+
+def compact_index(spark: SparkSession, root: str) -> SparkIndex:
+    """Deltas → consolidated SparkIndex. Re-crawled urls (same doc_id in
+    several batches) resolve last-write-wins by highest batch_id."""
+    from pyspark.sql.window import Window
+
+    delta = spark.read.parquet(f"{root}/analyzed_delta")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    latest = (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+    tokens = latest.select(
+        "doc_id", F.explode("terms").alias("tp")
+    ).select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+    postings = tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tftd"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    per_doc = postings.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))).alias("Ld"),
+        (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
+    )
+    doc_stats = (
+        latest.select("doc_id", F.col("doc_length").cast("double").alias("doc_length"),
+                      "byte_size")
+        .join(per_doc, "doc_id", "left")
+        .fillna({"Ld": 0.0, "avg_tftd": 0.0})
+        .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
+    )
+    corpus_stats = doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("doc_length").alias("avg_doc_length")
+    )
+    biword = latest.select(
+        "doc_id", F.explode("biwords").alias("term")
+    ).select("term", "doc_id")
+    return SparkIndex(postings, doc_stats, corpus_stats, biword)
+
+
+def ingestion_stats(pages_stream: DataFrame,
+                    watermark: str = "2 minutes",
+                    window: str = "1 minute") -> DataFrame:
+    """Watermarked event-time monitoring: docs + bytes per warc_ts
+    window; rows later than the watermark are dropped (late-data
+    policy), windows finalize once the watermark passes."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("bytes"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang", "n_docs", "bytes",
+        )
+    )

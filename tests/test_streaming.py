@@ -1,0 +1,121 @@
+"""Structured-Streaming ingestion tests: incremental index == batch
+index over the same pages; re-crawl upserts; watermarked stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import PAGES_SCHEMA, make_page
+
+
+def _write_pages(spark, path, ids, seed=42, mutate=None):
+    rows = []
+    for i in ids:
+        p = make_page(i, seed)
+        if mutate:
+            p = mutate(p)
+        rows.append(p)
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.streaming.ingest import (
+        compact_index,
+        start_incremental_index,
+    )
+
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "idx")
+    _write_pages(spark, inp, range(0, 20))
+    q = start_incremental_index(spark, inp, root)
+    q.awaitTermination(120)
+    # second drop of files → second micro-batch
+    _write_pages(spark, inp, range(20, 30))
+    q2 = start_incremental_index(spark, inp, root)
+    q2.awaitTermination(120)
+
+    sidx = compact_index(spark, root)
+
+    batch_docs = spark.read.parquet(inp).select(
+        F.xxhash64("url").bitwiseAND(F.lit((1 << 63) - 1)).alias("doc_id"),
+        "text",
+        F.octet_length("html").alias("byte_size"),
+    )
+    bidx = build_index(batch_docs, byte_size_col="byte_size")
+
+    s = {(r["term"], r["doc_id"], r["tftd"], tuple(r["positions"]))
+         for r in sidx.postings.collect()}
+    b = {(r["term"], r["doc_id"], r["tftd"], tuple(r["positions"]))
+         for r in bidx.postings.collect()}
+    assert s == b and len(s) > 0
+    assert sidx.doc_stats.count() == 30
+
+
+def test_recrawl_last_write_wins(spark, tmp_path):
+    from searchengine_spark.streaming.ingest import (
+        compact_index,
+        start_incremental_index,
+    )
+
+    inp = str(tmp_path / "in")
+    root = str(tmp_path / "idx")
+    _write_pages(spark, inp, [1, 2, 3])
+    start_incremental_index(spark, inp, root).awaitTermination(120)
+
+    # re-crawl page 2 with new content (same url → same doc_id)
+    def mutate(p):
+        if p["url"].endswith("page0002"):
+            p = dict(p, text="fresh recrawl content only", html=b"<html><head><title>t</title></head><body>fresh recrawl content only</body></html>")
+        return p
+
+    _write_pages(spark, inp, [2], mutate=mutate)
+    start_incremental_index(spark, inp, root).awaitTermination(120)
+
+    idx = compact_index(spark, root)
+    assert idx.doc_stats.count() == 3  # still 3 unique urls
+    doc2 = idx.postings.filter(F.col("term") == "recrawl").collect()
+    assert len(doc2) == 1  # new content indexed, old replaced
+
+
+def test_ingestion_stats_watermark(spark, tmp_path):
+    from searchengine_spark.streaming.ingest import ingestion_stats, stream_pages
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "stats")
+    _write_pages(spark, inp, range(0, 12))
+    stats = ingestion_stats(stream_pages(spark, inp))
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-finalized windows; with a single
+    # availableNow drain the last window may be withheld — drive a
+    # second batch to advance the watermark
+    _write_pages(spark, inp, range(12, 24))
+    q2 = (
+        ingestion_stats(stream_pages(spark, inp))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    row = got.orderBy("window_start").collect()[0]
+    assert row["n_docs"] > 0 and row["bytes"] > 0
+    # pages arrive 37s apart → 1-minute windows hold 1-2 docs per lang
+    assert (row["window_end"] - row["window_start"]).total_seconds() == 60
