@@ -6,15 +6,17 @@ byte of each number has its high bit set (+128), preceding bytes are
 
 numpy-vectorized — no per-value Python in the encode hot path: byte
 widths come from masked comparisons, byte placement from a cumsum'd
-offset table and ≤5 masked scatter passes (values are doc-id/position
-GAPS, so 5 VB bytes ≥ 2^28 covers any realistic gap).
+offset table and ≤9 masked scatter passes (full int64 range; realistic
+doc-id/position gaps use 1-5 bytes).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-_THRESHOLDS = (1 << 7, 1 << 14, 1 << 21, 1 << 28, 1 << 35)
+# width k+1 bytes for values in [2^(7k), 2^(7k+7)); 9 bytes cover the
+# full non-negative int64 range (63 payload bits)
+_THRESHOLDS = tuple(1 << (7 * k) for k in range(1, 9))
 
 
 def vb_encode(values: np.ndarray | list[int]) -> bytes:
