@@ -475,6 +475,22 @@ ORACLE_SQL["rank_bm25_pruned"] = _rank_sql("bm25", ["table", "dup"],
                                            wqt_threshold=0.4)
 
 
+# Edge cases: unknown terms must degrade exactly like the reference
+# (missing term contributes nothing to rank; AND with it empties the
+# result — ranked_strategy.py:66-68, merge semantics).
+QUERIES["rank_bm25_missing_term"] = _rank("bm25", query="table zzznotaword")
+ORACLE_SQL["rank_bm25_missing_term"] = _rank_sql("bm25", ["table", "zzznotaword"])
+
+QUERIES["bool_and_missing_term"] = _bool("table zzznotaword")
+ORACLE_SQL["bool_and_missing_term"] = (
+    SQL_PREFIX
+    + """
+SELECT a.doc_id FROM postings a JOIN postings b USING (doc_id)
+WHERE a.term = 'table' AND b.term = 'zzznotaword'
+"""
+)
+
+
 def _segments(spark, sf_dir):
     """Compressed block segments over the simple index (memoized)."""
     key = (id(spark.sparkContext), sf_dir, "segments")
