@@ -124,6 +124,21 @@ def main() -> None:
     boolean_query(ridx, '"customer line"').collect()
     queries["phrase_biword"] = time.time() - t0
 
+    # --- compressed segments + block-max WAND (the scale path) ---
+    from searchengine_spark.indexing.segments import build_segments
+    from searchengine_spark.queries.wand import wand_topk
+
+    t0 = time.time()
+    seg = build_segments(ridx.postings, ridx.doc_stats, block_span=512).cache()
+    seg.count()
+    queries["segments_build"] = time.time() - t0
+    wand_lat = []
+    for q in BM25_QUERIES[:5]:
+        t0 = time.time()
+        wand_topk(ridx, seg, q, 10, champion_blocks=4).collect()
+        wand_lat.append(time.time() - t0)
+    queries["wand_p50_k10"] = statistics.median(wand_lat)
+
     # --- gate headliners (engine paths the driver grades) ---
     for name in ("rank_bm25", "bool_and", "phrase_2"):
         t0 = time.time()

@@ -194,6 +194,23 @@ def index_vocabulary(spark, sf_dir):
 
 
 @register(
+    "index_term_stats_salted",
+    SQL_PREFIX
+    + """
+SELECT term, count(*)::BIGINT AS df, sum(tftd)::BIGINT AS cf
+FROM postings GROUP BY term
+""",
+)
+def index_term_stats_salted(spark, sf_dir):
+    """Explicit salted two-stage term aggregation (skew handling for
+    Zipf head terms) — must equal the naive single-stage SQL."""
+    from .indexing.build import term_stats_salted
+
+    idx = simple_index(spark, sf_dir)
+    return term_stats_salted(idx.postings, salt=16)
+
+
+@register(
     "index_biword_df",
     SQL_PREFIX
     + """

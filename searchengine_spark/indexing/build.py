@@ -189,6 +189,33 @@ def build_index(
     return SparkIndex(postings, doc_stats, corpus_stats, biword)
 
 
+def term_stats_salted(postings: DataFrame, salt: int = 16) -> DataFrame:
+    """Per-term collection stats — df (doc count) and cf (total term
+    occurrences) — via EXPLICIT salted two-stage aggregation (north
+    rule: Zipf head terms make a naive groupBy(term) reduce-side hot).
+
+    Stage 1 groups on (term, doc_id % salt): each head term's rows
+    split across ``salt`` independent reducers. Stage 2 combines the
+    ≤salt partials per term — a tiny shuffle. Spark's partial
+    (map-side) aggregation gives similar protection implicitly when
+    maps see mixed keys; the explicit salt guarantees bounded reducer
+    fan-in regardless of AQE/partial-agg behavior, which is the
+    contract that matters at 10^12 docs.
+    """
+    stage1 = (
+        postings.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(salt)))
+        .groupBy("term", "_salt")
+        .agg(
+            F.count("*").alias("_df_part"),
+            F.sum("tftd").alias("_cf_part"),
+        )
+    )
+    return stage1.groupBy("term").agg(
+        F.sum("_df_part").cast("long").alias("df"),
+        F.sum("_cf_part").cast("long").alias("cf"),
+    )
+
+
 def write_index(index: SparkIndex, path: str, term_buckets: int = 64) -> None:
     """Persist the index as parquet, term-hash partitioned so query-time
     term lookups prune to one directory (the Spark analogue of the

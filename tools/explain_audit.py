@@ -1,0 +1,55 @@
+"""Print the physical plans of the engine's hot paths (the audit
+recorded in PERF.md) — run `python tools/explain_audit.py` to verify
+partition pruning, filter pushdown, broadcast joins, and
+TakeOrderedAndProject claims against the live Catalyst output."""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from searchengine_spark.indexing.build import (
+        read_index,
+        term_filter,
+        write_index,
+    )
+    from searchengine_spark.indexing.simple import build_simple_index, simple_query_term
+    from searchengine_spark.queries.ranked import rank_topk
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=4)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    idx = build_simple_index(docs)
+    path = tempfile.mkdtemp(prefix="audit_idx_")
+    write_index(idx, path, term_buckets=16)
+    pidx = read_index(spark, path)
+
+    print("=" * 70)
+    print("TERM LOOKUP — expect PartitionFilters [bucket = k] and")
+    print("PushedFilters [EqualTo(term,...)], ReadSchema without waste")
+    print("=" * 70)
+    term_filter(pidx.postings, ["table"], pidx.term_buckets).explain("formatted")
+
+    print("=" * 70)
+    print("BM25 TOP-K — expect TakeOrderedAndProject, partial+final")
+    print("HashAggregate, BroadcastHashJoin on term/doc_id")
+    print("=" * 70)
+    rank_topk(pidx, "table scan merge", "bm25", 10,
+              normalize=simple_query_term).explain()
+
+    print("=" * 70)
+    print("RANKED PROJECTION — positions column must NOT be read")
+    print("=" * 70)
+    from pyspark.sql import functions as F
+
+    pidx.postings.filter(F.col("term") == "table").select(
+        "doc_id", "tftd"
+    ).explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
