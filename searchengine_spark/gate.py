@@ -658,6 +658,48 @@ def dedup_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_filtered_corpus",
+    SQL_PREFIX + SQL_CAND_CTE + """
+, inter AS (
+  SELECT ca.doc_a, ca.doc_b, count(*)::BIGINT AS n_common
+  FROM (SELECT doc_a, doc_b FROM cand WHERE n_matches >= 2) ca
+  JOIN shingle sa ON sa.doc_id = ca.doc_a
+  JOIN shingle sb ON sb.doc_id = ca.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingle GROUP BY 1),
+verified AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_common / (za.n + zb.n - i.n_common)::DOUBLE >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+""",
+)
+def dedup_filtered_corpus(spark, sf_dir):
+    """End-to-end dedup action: detect (MinHash+LSH), verify (exact
+    Jaccard ≥0.5), then drop the larger member of each pair —
+    the corpus a training pipeline would actually keep."""
+    from .ops.dedup import (
+        dedup_filter,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verify(
+        docs, lsh_candidate_pairs(minhash_signatures(docs), min_matches=2),
+        threshold=0.5,
+    )
+    return dedup_filter(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+@register(
     "dedup_simhash",
     SQL_PREFIX + """
 , wordtf AS (

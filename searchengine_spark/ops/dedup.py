@@ -163,6 +163,18 @@ def jaccard_verify(docs: DataFrame, candidates: DataFrame,
     )
 
 
+def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Apply a dedup decision: given verified near-dup ``pairs(doc_a,
+    doc_b)`` with doc_a < doc_b, keep the smallest doc_id of each
+    cluster — i.e. drop every doc that appears as the LARGER member of
+    any pair. (Greedy policy: for chains a<b<c this keeps a and drops
+    b,c — the standard keep-first heuristic; full connected-components
+    clustering would be an iterative join, unnecessary for the
+    keep-smallest contract.) One broadcast anti-join."""
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): tftd-weighted sign aggregation of word-hash
     bits — near-dup fingerprint in one explode + two aggregations, all

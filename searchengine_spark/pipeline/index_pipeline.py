@@ -131,3 +131,36 @@ def run_index_pipeline(
     )
 
     return SparkIndex(postings, doc_stats, corpus_stats, biword)
+
+
+def stage_segments(
+    spark: SparkSession,
+    root: str,
+    index: SparkIndex,
+    fingerprint: str,
+    block_span: int = 4096,
+    term_buckets: int = 64,
+) -> DataFrame:
+    """Optional final stage: compressed block-split segments
+    (indexing/segments.py) as a checkpointed, term-bucket-partitioned
+    table — the queryable artifact of the build. Partitioned writes
+    give per-(bucket, task) lineage in the manifest."""
+    from ..indexing.segments import build_segments
+
+    fp = f"{PIPELINE_VERSION}:{fingerprint}:seg{block_span}x{term_buckets}"
+
+    def build():
+        return (
+            build_segments(index.postings, index.doc_stats, block_span)
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.crc32(F.col("term").cast("binary")), F.lit(term_buckets)
+                ).cast("int"),
+            )
+            .withColumn("_build_part", F.spark_partition_id())
+            .repartition("bucket")
+        )
+
+    return run_stage(spark, root, "segments", fp, build,
+                     partition_by=["bucket"])
