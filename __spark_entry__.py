@@ -21,7 +21,7 @@ from searchengine_spark import gate
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full reference-parity pipeline (Arrow pandas-UDF
     tokenizer + Porter2 + positional index build) then BM25 top-10."""
-    return gate.ref_bm25_topk(spark, "/root/testdata/sf0.001")
+    return gate.QUERIES["ref_bm25_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -105,6 +105,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver calls these queries with ITS OWN SparkSession, whose
+    python workers may not have this repo on sys.path — addPyFile the
+    package zip once per session so UDF closures unpickle anywhere
+    (the programmatic spark-submit --py-files)."""
+    key = id(spark.sparkContext)
+    if key not in _SHIPPED:
+        from .session import _ship_package
+
+        _ship_package(spark)
+        _SHIPPED.add(key)
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1213,3 +1229,24 @@ def ref_boolean_mixed(spark, sf_dir):
     return boolean_query(idx, "table scan + agg -join").select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wrap every entry so the package ships to the session's python workers
+# before any UDF runs (driver sessions don't have /root/repo on worker
+# sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_shipped(fn):
+    def wrapped(spark, sf_dir, _fn=fn):
+        _ensure_shipped(spark)
+        return _fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "gate_query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+for _name in list(QUERIES):
+    QUERIES[_name] = _wrap_shipped(QUERIES[_name])
