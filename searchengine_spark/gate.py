@@ -508,6 +508,12 @@ ORACLE_SQL["rank_bm25_pruned"] = _rank_sql("bm25", ["table", "dup"],
                                            wqt_threshold=0.4)
 
 
+# Default-strategy vocab elimination (threshold 1.1,
+# vocab_elimination_main_precision_demo.py:142)
+QUERIES["rank_default_pruned"] = _rank("default", query="table dup", prune=True)
+ORACLE_SQL["rank_default_pruned"] = _rank_sql("default", ["table", "dup"],
+                                              wqt_threshold=1.1)
+
 # Edge cases: unknown terms must degrade exactly like the reference
 # (missing term contributes nothing to rank; AND with it empties the
 # result — ranked_strategy.py:66-68, merge semantics).
