@@ -83,3 +83,20 @@ def test_average_precision_bounds(ranked, relevant):
     # perfect ranking of the full relevant set gives AP = 1
     if relevant:
         assert average_precision(sorted(relevant), relevant) == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), max_size=20, unique=True),
+    st.sets(st.integers(0, 30), max_size=15),
+)
+def test_precision_recall_curve_properties(ranked, relevant):
+    from searchengine_spark.eval.metrics import precision_recall_curve
+
+    pts = precision_recall_curve(ranked, relevant)
+    assert len(pts) == len(ranked)
+    last_recall = 0.0
+    for recall, precision in pts:
+        assert 0.0 <= precision <= 1.0 and 0.0 <= recall <= 1.0
+        assert recall >= last_recall  # recall is monotone
+        last_recall = recall
