@@ -964,6 +964,101 @@ def text_fingerprint(spark, sf_dir):
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "events_windowed",
+    """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_s,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def events_windowed(spark, sf_dir):
+    """Tumbling event-time window aggregation over the events table —
+    the batch-equivalent semantics of streaming/ingest.ingestion_stats
+    (same window function runs under readStream with a watermark),
+    which is what makes the streaming operator oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            # 2-decimal values summed as exact integer cents — immune
+            # to float addition-order differences across engines
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long").alias("sum_value_cents"),
+        )
+        .select(
+            # epoch seconds keep the gate all-bigint/string (timestamp
+            # serialization differs across engines/hashers)
+            (F.unix_micros(F.col("w.start").cast("timestamp")) / 1_000_000)
+            .cast("long").alias("window_start_s"),
+            "event_type", "n_events", "n_users", "sum_value_cents",
+        )
+    )
+
+
+@register(
+    "events_sessionized",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END
+           AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, count(DISTINCT session_no)::BIGINT AS n_sessions
+FROM sessions GROUP BY user_id
+""",
+)
+def events_sessionized(spark, sf_dir):
+    """30-minute-gap sessionization per user (lag + running sum over
+    per-user windows — the batch twin of a session_window stream).
+    Per-user window partitions: parallel, no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            # exact microsecond arithmetic (cast-to-long truncates to
+            # seconds and would disagree with DuckDB's exact interval
+            # comparison on gaps within 1s of the threshold; NTZ→TZ
+            # cast is UTC-pinned by session config)
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_no", F.sum("new_session").over(ws))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_no").cast("long").alias("n_sessions")
+    ).select(F.col("user_id").cast("long").alias("user_id"), "n_sessions")
+
+
 # ---------------------------------------------------------------------------
 # 6. Classification extras (SURVEY.md §2.6, C1-C4; class = lang)
 # ---------------------------------------------------------------------------
