@@ -858,6 +858,19 @@ def sim_ann_topk(spark, sf_dir):
     return top.select("vec_id", _e6(F.col("cosine")).alias("cosine_e6"))
 
 
+@register("sim_ivf_topk")
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer, pyspark.ml) — rows-only:
+    KMeans has no DuckDB equivalent; recall vs brute force is
+    pytest-asserted (tests/test_ops.py::test_ivf_ann_recall)."""
+    from .ops.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    ivf = IvfIndex.fit(emb, n_centroids=8)
+    top = ivf.search(_query_vec(spark, sf_dir), k=10, n_probe=4)
+    return top.select("vec_id", _e6(F.col("cosine")).alias("cosine_e6"))
+
+
 @register(
     "text_token_counts",
     r"""

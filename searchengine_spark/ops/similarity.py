@@ -91,3 +91,51 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         F.col("bucket") == F.lit(qbucket)
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+class IvfIndex:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
+    vector to its nearest centroid; queries probe only the ``n_probe``
+    closest centroid cells. The production-recall scale path promised in
+    this module's docstring — at warehouse scale the ``centroid_id``
+    column becomes the partition key of the embedding table, making a
+    probe a partition-pruned scan (same shape as the term-bucket index).
+
+    Deterministic: KMeans seeded; assignment ties broken by centroid id.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: list[list[float]],
+                 id_col: str, vec_col: str):
+        self.assigned = assigned          # rows + centroid_id column
+        self.centroids = centroids        # centroid_id -> vector
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def fit(embeddings: DataFrame, n_centroids: int = 16, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_df = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col)))
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="_feat",
+                       predictionCol="centroid_id").fit(ml_df)
+        assigned = model.transform(ml_df).drop("_feat")
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        return IvfIndex(assigned, centroids, id_col, vec_col)
+
+    def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
+        import math
+
+        def dist2(c):
+            return sum((a - b) ** 2 for a, b in zip(c, query_vec))
+
+        order = sorted(range(len(self.centroids)),
+                       key=lambda i: (dist2(self.centroids[i]), i))
+        return order[:max(1, min(n_probe, len(order)))]
+
+    def search(self, query_vec: list[float], k: int = 10,
+               n_probe: int = 4) -> DataFrame:
+        cells = self._probe_cells(query_vec, n_probe)
+        cand = self.assigned.filter(F.col("centroid_id").isin(cells))
+        return brute_force_topk(cand, query_vec, k, self.id_col, self.vec_col)

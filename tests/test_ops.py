@@ -163,3 +163,18 @@ def test_multimodal_resize_is_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image(media_df(spark, 2), 16, 16)
+
+
+def test_ivf_ann_recall(spark, emb):
+    from searchengine_spark.ops.similarity import IvfIndex, brute_force_topk
+
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 3)
+    ivf = IvfIndex.fit(rest, n_centroids=8)
+    exact = {r["vec_id"] for r in brute_force_topk(rest, qv, k=10).collect()}
+    # probing half the cells must recover most of the true top-10
+    approx = {r["vec_id"] for r in ivf.search(qv, k=10, n_probe=4).collect()}
+    assert len(approx & exact) >= 6
+    # probing ALL cells is exhaustive => exact
+    full = {r["vec_id"] for r in ivf.search(qv, k=10, n_probe=8).collect()}
+    assert full == exact
