@@ -65,17 +65,50 @@ def load_text_directory(spark: SparkSession, path: str,
         return spark.createDataFrame(
             [], "doc_id long, title string, text string, byte_size long"
         )
-    raw = spark.read.text(files, wholetext=True)
-    sized = spark.createDataFrame(
-        [(_uri(p), os.path.getsize(p)) for p in files],
-        "uri string, byte_size long",
+    # Small-file corpora: Hadoop's wholetext source pays ~10-30ms of
+    # per-file machinery (measured: flat ~1.1k files/s regardless of
+    # cores at 60k files). Instead, distribute the PATH LIST as rows
+    # and read contents with plain python open() inside an
+    # Arrow-batched mapInPandas — ~0.1ms per file, embarrassingly
+    # parallel, and the same pattern an object-store corpus uses (the
+    # reader becomes a boto3/https get per row).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    meta = [
+        (p, i, os.path.splitext(os.path.basename(p))[0], os.path.getsize(p))
+        for i, p in enumerate(files)
+    ]
+    parts = max(min(spark.sparkContext.defaultParallelism * 2, len(files)), 1)
+    paths_df = spark.createDataFrame(
+        meta, "path string, doc_id long, title string, byte_size long"
+    ).repartition(parts)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("byte_size", T.LongType()),
+        ]
     )
-    return (
-        _with_doc_ids(spark, raw, files)
-        .join(F.broadcast(sized), "uri")
-        .select("doc_id", F.col("stem").alias("title"),
-                F.col("value").alias("text"), "byte_size")
-    )
+
+    def read_files(batches):
+        for pdf in batches:
+            texts = []
+            for p in pdf["path"]:
+                with open(p, encoding="utf-8") as fh:
+                    texts.append(fh.read())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": pdf["title"],
+                    "text": texts,
+                    "byte_size": pdf["byte_size"],
+                }
+            )
+
+    return paths_df.mapInPandas(read_files, schema)
 
 
 def load_json_directory(spark: SparkSession, path: str,
@@ -89,7 +122,7 @@ def load_json_directory(spark: SparkSession, path: str,
             [], "doc_id long, title string, text string, author string, "
                 "url string, byte_size long",
         )
-    raw = spark.read.option("multiLine", "true").json(files)
+    raw = spark.read.option("multiLine", "true").json(f"{path}/*{suffix}")
     sized = spark.createDataFrame(
         [(_uri(p), os.path.getsize(p)) for p in files],
         "uri string, byte_size long",
