@@ -20,4 +20,5 @@ def test_rank_identical_to_reference_implementation():
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     assert rec["rank_identical"] is True, rec["mismatches"]
+    assert rec["boolean_identical"] is True, rec["boolean_mismatches"]
     assert rec["queries"] == 6 and rec["k"] == 10

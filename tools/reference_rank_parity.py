@@ -42,6 +42,15 @@ QUERIES = [
     "strenuous historical bedford",
     "query ranking retrieval",
 ]
+
+BOOLEAN_QUERIES = [
+    "camping yosemite",               # AND
+    "whaling + bedford",              # OR
+    "camping -yosemite",              # AND-NOT
+    "national park + search engine -index",  # mixed
+    '"national park"',                # phrase (biword fast path)
+    "[camping NEAR/2 yosemite]",      # NEAR/k
+]
 STRATEGY_NAMES = ("default", "tfidf", "bm25", "wacky")
 K = 10
 
@@ -117,9 +126,19 @@ def build_reference_disk_index(corpus_dir: str, index_dir: str):
     )
     writer.write_index(index)
 
+    biword_dir = Path(index_dir) / "biword"
+    biword_dir.mkdir()
+    biword_writer = DiskIndexWriter(biword_dir)
+    biword_writer.write_index(biword_index)
+
     from indexes.diskpositionalindex import DiskPositionalIndex
 
-    return DiskPositionalIndex(writer, num_docs=n_docs), n_docs, id_to_title
+    return (
+        DiskPositionalIndex(writer, num_docs=n_docs),
+        DiskPositionalIndex(biword_writer),
+        n_docs,
+        id_to_title,
+    )
 
 
 def reference_rank(disk_index, n_docs: int, query: str, strategy: str):
@@ -133,6 +152,23 @@ def reference_rank(disk_index, n_docs: int, query: str, strategy: str):
     }[strategy]()
     acc = strat.calculate(query=query, disk_index=disk_index, corpus_size=n_docs)
     return heapq.nlargest(K, [(score, doc_id) for doc_id, score in acc.items()])
+
+
+def reference_boolean(disk_index, biword_disk_index, query: str, id_to_title):
+    """main.py:403-426 boolean path via the reference's own parser +
+    merge code (biword fast path for single 2-term phrases)."""
+    from queries import BooleanQueryParser, PhraseLiteral
+    from text.newtokenprocessor import NewTokenProcessor
+
+    parser = BooleanQueryParser()
+    component = parser.parse_query(query=query)
+    if isinstance(component, PhraseLiteral) and len(component.terms) == 2:
+        postings = component.get_postings(
+            biword_disk_index, NewTokenProcessor(), is_biword=True
+        )
+    else:
+        postings = component.get_postings(disk_index, NewTokenProcessor())
+    return sorted({id_to_title[p.doc_id] for p in postings})
 
 
 def main() -> None:
@@ -165,14 +201,34 @@ def main() -> None:
                 spark_results[(strategy, q)] = sorted(
                     (titles[r["doc_id"]], round(r["score"], 9)) for r in rows
                 )
+        from searchengine_spark.queries.engine import boolean_query
+
+        spark_bool = {
+            q: sorted(
+                titles[r["doc_id"]]
+                for r in boolean_query(sidx, q).collect()
+            )
+            for q in BOOLEAN_QUERIES
+        }
         spark.stop()
 
         # ---- reference side (its own code end to end) ----
         install_porter2_stub()
         sys.path.insert(0, "/root/reference")
-        disk_index, n, id_to_title = build_reference_disk_index(
+        disk_index, biword_disk_index, n, id_to_title = build_reference_disk_index(
             corpus_dir, index_dir
         )
+        bool_mismatches = []
+        for q in BOOLEAN_QUERIES:
+            ref_docs = reference_boolean(disk_index, biword_disk_index, q,
+                                         id_to_title)
+            if ref_docs != spark_bool[q]:
+                bool_mismatches.append(
+                    {"query": q, "ref_n": len(ref_docs),
+                     "spark_n": len(spark_bool[q])}
+                )
+        out["boolean_identical"] = not bool_mismatches
+        out["boolean_mismatches"] = bool_mismatches
         ref_lat: list = []
         mismatches = []
         for strategy in STRATEGY_NAMES:
