@@ -197,8 +197,13 @@ def docs_from_pages(pages: DataFrame, lang: str | None = None,
         )
     )
     w = Window.partitionBy("_pid").orderBy("url")  # per-partition: parallel
-    return (
+    out = (
         ranged.join(off_df, "_pid")
         .withColumn("doc_id", (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
         .select("doc_id", "url", "text", "byte_size")
     )
+    # The internal cache must not outlive the consumer: callers (and
+    # pipeline.run_stage) invoke _cleanup after materializing, so
+    # repeated builds in one session don't accumulate cached stages.
+    out._cleanup = ranged.unpersist  # type: ignore[attr-defined]
+    return out

@@ -118,6 +118,11 @@ def _ensure_shipped(spark: SparkSession) -> None:
         from .session import _ship_package
 
         _ship_package(spark)
+        # The driver's own session may not be UTC-pinned; event-time
+        # queries (events_windowed) convert NTZ timestamps via
+        # unix_micros(cast('timestamp')), which must agree with the
+        # DuckDB oracle's UTC epoch math regardless of driver locale.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _SHIPPED.add(key)
 
 
@@ -546,12 +551,12 @@ def _segments(spark, sf_dir):
 def segments_roundtrip(spark, sf_dir):
     """Delta+VB encode → block-split segments → decode must reproduce
     the postings table exactly (I8/I9 + R1 through compression).
-    Oracle: the SAME SQL as index_postings — the roundtrip is the test."""
+    Oracle: the SAME SQL as index_postings — the roundtrip is the test.
+    Decode-all path: no vocabulary collect, no isin filter — scales to
+    any vocabulary size."""
     from .indexing.segments import decode_postings
 
-    idx = simple_index(spark, sf_dir)
-    terms = [r["term"] for r in idx.postings.select("term").distinct().collect()]
-    dec = decode_postings(_segments(spark, sf_dir), terms)
+    dec = decode_postings(_segments(spark, sf_dir), terms=None)
     return dec.select(
         "term",
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -600,13 +605,35 @@ SQL_SIG_CTE = SQL_SHINGLE_CTE + f"""
 )
 """
 
-_ANY_MATCH = " OR ".join(f"x.mh{i} = y.mh{i}" for i in range(8))
 _N_MATCHES = " + ".join(f"(x.mh{i} = y.mh{i})::INT" for i in range(8))
+# b×r banding twin of ops.dedup.band_keys: 4 bands × 2 rows, band key =
+# 60-bit md5 hash of the r-tuple "mh_{2i}:mh_{2i+1}"; buckets larger
+# than the cap are dropped before pairing (ops.dedup.lsh_candidate_pairs
+# contract).
+_LSH_BUCKET_CAP = 10_000
+_BANDS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {i} AS band, ('0x' || substr(md5(mh{2 * i}::VARCHAR"
+    f" || ':' || mh{2 * i + 1}::VARCHAR), 1, 15))::BIGINT AS val FROM sig"
+    for i in range(4)
+)
 SQL_CAND_CTE = SQL_SIG_CTE + f"""
-, cand AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         ({_N_MATCHES})::BIGINT AS n_matches
-  FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({_ANY_MATCH})
+, bands AS (
+  {_BANDS_SQL}
+),
+bok AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING count(*) <= {_LSH_BUCKET_CAP}
+),
+bands_ok AS (SELECT b.doc_id, b.band, b.val FROM bands b JOIN bok USING (band, val)),
+cand0 AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands_ok x JOIN bands_ok y
+    ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+),
+cand AS (
+  SELECT c.doc_a, c.doc_b, ({_N_MATCHES})::BIGINT AS n_matches
+  FROM cand0 c JOIN sig x ON x.doc_id = c.doc_a
+               JOIN sig y ON y.doc_id = c.doc_b
 )
 """
 
@@ -877,7 +904,7 @@ def sim_ivf_topk(spark, sf_dir):
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS alnum_tokens,
-       strlen(text)::BIGINT AS n_chars
+       length(text)::BIGINT AS n_chars
 FROM documents
 """,
 )
@@ -925,7 +952,7 @@ ORACLE_SQL["text_lang_id"] = _langid_sql()
     SQL_PREFIX + """
 , tstats AS (
   SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         sum(strlen(term))::DOUBLE AS tok_chars,
+         sum(length(term))::DOUBLE AS tok_chars,
          count(CASE WHEN term IN ('the','a','and','of','to','in','is','it',
                                   'you','that') THEN 1 END)::DOUBLE AS sw
   FROM tok GROUP BY doc_id
@@ -936,8 +963,8 @@ f AS (
            AS mean_tok_len,
          coalesce(s.sw, 0) / greatest(coalesce(s.n_tokens, 0), 1)
            AS stopword_ratio,
-         strlen(regexp_replace(t.text, '[^a-zA-Z0-9]', '', 'g'))
-           / greatest(strlen(t.text), 1)::DOUBLE AS alnum_ratio
+         length(regexp_replace(t.text, '[^a-zA-Z0-9]', '', 'g'))
+           / greatest(length(t.text), 1)::DOUBLE AS alnum_ratio
   FROM tokarr t LEFT JOIN tstats s USING (doc_id)
 )
 SELECT doc_id, n_tokens,
@@ -1076,8 +1103,11 @@ def events_sessionized(spark, sf_dir):
 # 6. Classification extras (SURVEY.md §2.6, C1-C4; class = lang)
 # ---------------------------------------------------------------------------
 
-SQL_CLS_CTES = """
-, labeled AS (SELECT doc_id, lang AS cls FROM documents),
+def _cls_ctes(train_where: str = "") -> str:
+    """MI/NB CTE block; ``train_where`` restricts the labeled training
+    set (e.g. a held-out split) — stats (N, priors, df) follow it."""
+    return f"""
+, labeled AS (SELECT doc_id, lang AS cls FROM documents {train_where}),
 td AS (SELECT DISTINCT doc_id, term FROM tok),
 n11 AS (
   SELECT term, cls, count(*)::DOUBLE AS n11
@@ -1085,7 +1115,7 @@ n11 AS (
 ),
 termdf AS (SELECT term, sum(n11) AS term_df FROM n11 GROUP BY 1),
 clsn AS (SELECT cls, count(*)::DOUBLE AS nc FROM labeled GROUP BY 1),
-tot AS (SELECT count(*)::DOUBLE AS N FROM documents),
+tot AS (SELECT count(*)::DOUBLE AS N FROM documents {train_where}),
 mi AS (
   SELECT a.cls, a.term,
     (CASE WHEN a.n11 > 0 AND t.term_df > 0 AND c.nc > 0
@@ -1109,6 +1139,9 @@ mi AS (
 """
 
 
+SQL_CLS_CTES = _cls_ctes()
+
+
 @register(
     "classify_mi",
     SQL_PREFIX + SQL_CLS_CTES
@@ -1123,9 +1156,13 @@ def classify_mi(spark, sf_dir):
     )
 
 
-@register(
-    "classify_nb",
-    SQL_PREFIX + SQL_CLS_CTES + """
+def _nb_sql(train_where: str = "", test_where: str = "") -> str:
+    test_join = (
+        f"JOIN (SELECT doc_id FROM documents {test_where}) te USING (doc_id)\n  "
+        if test_where
+        else ""
+    )
+    return SQL_PREFIX + _cls_ctes(train_where) + f"""
 , feats AS (
   SELECT DISTINCT term FROM (
     SELECT cls, term,
@@ -1153,7 +1190,7 @@ priors AS (
 ),
 scores AS (
   SELECT t.doc_id, co.cls, sum(co.logp) + any_value(p.log_prior) AS score
-  FROM tdf t JOIN cond co USING (term) JOIN priors p ON p.cls = co.cls
+  FROM tdf t {test_join}JOIN cond co USING (term) JOIN priors p ON p.cls = co.cls
   GROUP BY t.doc_id, co.cls
 )
 SELECT doc_id, cls AS pred_class FROM (
@@ -1162,15 +1199,34 @@ SELECT doc_id, cls AS pred_class FROM (
                             ORDER BY score DESC, cls ASC) AS rn
   FROM scores
 ) WHERE rn = 1
-""",
-)
+"""
+
+
+@register("classify_nb", _nb_sql())
 def classify_nb(spark, sf_dir):
-    """C2: Naive Bayes prediction per document."""
+    """C2: Naive Bayes prediction per document (resubstitution)."""
     from .ops.classify import nb_classify
 
     return nb_classify(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "pred_class"
     )
+
+
+@register(
+    "classify_nb_split",
+    _nb_sql("WHERE doc_id % 5 <> 0", "WHERE doc_id % 5 = 0"),
+)
+def classify_nb_split(spark, sf_dir):
+    """C2 with a held-out split — train on 80% (doc_id % 5 != 0),
+    classify the unseen 20%: the reference's actual NB workflow (train
+    on labeled federalist papers, classify DISPUTED docs,
+    nb_classifier_main.py:113-205)."""
+    from .ops.classify import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return nb_classify(train, test).select("doc_id", "pred_class")
 
 
 @register(

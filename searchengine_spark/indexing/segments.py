@@ -163,15 +163,18 @@ def _decode_batch(docids_vb: pd.Series, tftds_vb: pd.Series,
 decode_udf = F.pandas_udf(_decode_batch, DEC_SCHEMA)
 
 
-def decode_postings(segments: DataFrame, terms: list[str],
+def decode_postings(segments: DataFrame, terms: list[str] | None,
                     term_buckets: int | None = None,
                     with_positions: bool = True) -> DataFrame:
     """Segments → exploded postings for a term set. Ranked reads pass
     ``with_positions=False`` and never touch the positions column
-    (columnar projection = the reference's position-skip, R2)."""
+    (columnar projection = the reference's position-skip, R2).
+    ``terms=None`` decodes EVERY segment (full-index scan — bulk
+    verification / reindexing path) without collecting the vocabulary
+    to the driver."""
     from .build import term_filter
 
-    seg = term_filter(segments, terms, term_buckets)
+    seg = segments if terms is None else term_filter(segments, terms, term_buckets)
     if with_positions:
         dec = seg.withColumn(
             "d",

@@ -102,21 +102,33 @@ def top_mi_terms(docs: DataFrame, k: int = 50, class_col: str = "lang",
     )
 
 
-def nb_classify(docs: DataFrame, k_features: int = 50,
+def nb_classify(train: DataFrame, test: DataFrame | None = None,
+                k_features: int = 50,
                 class_col: str = "lang", text_col: str = "text") -> DataFrame:
     """(doc_id, pred_class): df-based add-one-smoothed NB over the
-    union of per-class top-K MI terms."""
-    labeled = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                          F.col(class_col).alias("cls"))
+    union of per-class top-K MI terms.
+
+    Model (features, priors, conditionals) fits on ``train`` only;
+    predictions run over ``test`` (default: ``train`` — resubstitution).
+    The split mirrors the reference's disputed-papers workflow: train on
+    labeled federalist papers, classify the unlabeled disputed set
+    (nb_classifier_main.py:113-205)."""
+    if test is None:
+        test = train
+    labeled = train.select(F.col("doc_id").cast("long").alias("doc_id"),
+                           F.col(class_col).alias("cls"))
     n_total = labeled.count()
     feats = (
-        top_mi_terms(docs, k_features, class_col, text_col)
+        top_mi_terms(train, k_features, class_col, text_col)
         .select("term").distinct()
     )
-    td = doc_terms(docs, text_col).join(F.broadcast(feats), "term")
+    train_td = doc_terms(train, text_col).join(F.broadcast(feats), "term")
+    td = train_td if test is train else (
+        doc_terms(test, text_col).join(F.broadcast(feats), "term")
+    )
 
     df_tc = (
-        td.join(labeled, "doc_id")
+        train_td.join(labeled, "doc_id")
         .groupBy("cls", "term")
         .agg(F.count("*").cast("double").alias("df_tc"))
     )

@@ -81,28 +81,67 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
-                        min_matches: int = 2) -> DataFrame:
-    """Band the signature (band size 1: each minhash is a band — the
-    high-recall setting), bucket-join on equal band values, then keep
-    pairs agreeing on ≥ min_matches of the H minhashes.
-
-    Returns (doc_a, doc_b, n_matches, est_jaccard) with doc_a < doc_b.
-    est_jaccard = n_matches / H is the standard MinHash estimate.
-    """
-    bands = signatures.select(
+def band_keys(signatures: DataFrame, num_hashes: int = 8,
+              bands: int = 4) -> DataFrame:
+    """(doc_id, band, val): standard b×r LSH banding — the H minhashes
+    split into ``bands`` bands of r = H/bands rows each; a band's key
+    is the 60-bit hash of its r-tuple. Docs are candidates iff some
+    band key collides, so a single boilerplate shingle (one shared
+    minhash) can no longer merge millions of docs into one bucket —
+    ALL r rows of a band must agree."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(*[
-                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("val"))
-                for i in range(num_hashes)
+                F.struct(
+                    F.lit(i).alias("band"),
+                    h60(
+                        F.concat_ws(
+                            ":",
+                            *[F.col(f"mh{i * r + j}").cast("string")
+                              for j in range(r)],
+                        )
+                    ).alias("val"),
+                )
+                for i in range(bands)
             ])
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
 
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
+                        min_matches: int = 2, bands: int = 4,
+                        bucket_cap: int = 10_000) -> DataFrame:
+    """b×r-banded LSH candidate generation with a hot-bucket cap.
+
+    * Banding: candidates must share a FULL band (r = H/bands minhashes)
+      — see :func:`band_keys`. The r-tuple key is what keeps web-scale
+      boilerplate from creating O(bucket²) pair explosions.
+    * ``bucket_cap``: buckets with more than this many docs are dropped
+      before the self-join (a bucket of B docs yields B·(B−1)/2 pairs;
+      a cap bounds the worst case — at 100 TB a capped bucket is
+      near-certainly template boilerplate, handled by exact dedup
+      instead). The cap is part of the operator contract and is
+      mirrored in the SQL oracle.
+    * Survivors are post-filtered to ≥ min_matches agreeing minhashes.
+
+    Returns (doc_a, doc_b, n_matches, est_jaccard) with doc_a < doc_b;
+    est_jaccard = n_matches / H is the standard MinHash estimate.
+    """
+    bk = band_keys(signatures, num_hashes, bands)
+    bucket_ok = (
+        bk.groupBy("band", "val")
+        .agg(F.count("*").alias("n_in_bucket"))
+        .filter(F.col("n_in_bucket") <= bucket_cap)
+        .select("band", "val")
+    )
+    bk = bk.join(bucket_ok, ["band", "val"])
+
     pairs = (
-        bands.alias("x")
-        .join(bands.alias("y"),
+        bk.alias("x")
+        .join(bk.alias("y"),
               (F.col("x.band") == F.col("y.band"))
               & (F.col("x.val") == F.col("y.val"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -177,9 +216,13 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): tftd-weighted sign aggregation of word-hash
-    bits — near-dup fingerprint in one explode + two aggregations, all
-    codegen. Bit b of the result is 1 iff
-    Σ_words tftd·(2·bit_b(h(word))−1) > 0."""
+    bits. Bit b of the result is 1 iff
+    Σ_words tftd·(2·bit_b(h(word))−1) > 0.
+
+    One groupBy(doc_id) with ``bits`` partial-aggregated conditional
+    sums (the mh0..mh7 MinHash pattern) — NO per-bit row explode, so
+    the shuffle moves |postings| rows, not 32·|postings| (the round-1
+    version exploded every (doc, term) into 32 bit rows)."""
     tok = (
         docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.explode(token_array(F.col(text_col))).alias("term"))
@@ -187,17 +230,19 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         .agg(F.count("*").alias("tftd"))
         .withColumn("h", h60(F.col("term")))
     )
-    contribs = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "tftd", "h",
-    ).withColumn(
-        "w",
-        F.col("tftd") * (F.expr("(shiftright(h, b) & 1) * 2 - 1")),
+    bitsums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tftd") * F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    bitsums = contribs.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
-    return bitsums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
-        ).cast("long").alias("simhash")
+    fp = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+            for b in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
     )
+    return bitsums.select("doc_id", fp.cast("long").alias("simhash"))

@@ -1,9 +1,11 @@
 """Multimodal (image/audio/video) columns as opaque ``binary`` payloads
 with typed metadata — the Spark-side plumbing (schema, partitioning,
-Arrow batch shape, UDF signatures) is real and tested; the actual
-codec calls (PIL/ffmpeg-class libraries are not in this container) are
-STUBBED behind import guards, with a deterministic synthetic raster
-format standing in so the pipeline is end-to-end verifiable.
+Arrow batch shape, UDF signatures) is real and tested, and the resize
+kernel is a real pure-numpy bilinear resample. Only the EXTERNAL codec
+entry point (``decode_real_image``; PIL/ffmpeg-class libraries are not
+in this container) is stubbed behind an import guard, with a
+deterministic synthetic raster format standing in so the pipeline is
+end-to-end verifiable.
 
 Synthetic payload format (deterministic per (seed, media_id)):
 ``IMG1`` magic + width·height unsigned bytes row-major (grayscale), so
@@ -159,10 +161,67 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
-def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize — STUB pending codec availability; the signature and
-    schema contract are the product here."""
-    raise NotImplementedError(
-        "resize requires an image codec not present in this container; "
-        "see extract_features for the Arrow plumbing the real kernel drops into"
+def bilinear_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resample of a 2-D uint8 raster (align_corners
+    convention: output corners map onto input corners). Vectorized —
+    no Python loop over pixels."""
+    in_h, in_w = arr.shape
+    a = arr.astype(np.float64)
+    ys = (
+        np.linspace(0.0, in_h - 1.0, out_h)
+        if out_h > 1
+        else np.zeros(1)
     )
+    xs = (
+        np.linspace(0.0, in_w - 1.0, out_w)
+        if out_w > 1
+        else np.zeros(1)
+    )
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    top = a[y0[:, None], x0[None, :]] * (1 - wx) + a[y0[:, None], x1[None, :]] * wx
+    bot = a[y1[:, None], x0[None, :]] * (1 - wx) + a[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every IMG1 raster to (width, height) with the numpy
+    bilinear kernel — Arrow-batched mapInPandas; output payloads keep
+    the IMG1 container so downstream feature extraction runs unchanged.
+    (A real-codec corpus would swap ``_decode_raster``/``bilinear_resize``
+    for PIL calls inside the same batch loop.)"""
+
+    def run(batches):
+        for pdf in batches:
+            payloads = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = _decode_raster(payload, meta["width"], meta["height"])
+                out = bilinear_resize(arr, width, height)
+                payloads.append(MAGIC + out.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

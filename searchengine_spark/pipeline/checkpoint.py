@@ -115,6 +115,12 @@ def run_stage(
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     os.replace(tmp, os.path.join(stage_dir, MANIFEST))
+    # release any intermediate cache the builder registered (e.g.
+    # docs_from_pages' two-pass ranking cache) — the checkpoint on disk
+    # supersedes it
+    cleanup = getattr(df, "_cleanup", None)
+    if cleanup is not None:
+        cleanup()
     return spark.read.parquet(data_dir)
 
 

@@ -138,4 +138,12 @@ def wand_topk(
     keep_blocks = block_ub.filter(F.col("ub") >= F.lit(theta)).select("block")
     survivors = seg.join(F.broadcast(keep_blocks), "block")
     final = exact_scores(survivors)
-    return final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
+    # WAND is inherently eager (the champion pass already collected);
+    # materialize the k result rows now so the per-query caches can be
+    # released — repeated queries in one session must not accumulate
+    # cached blocks (the alternative is the caller owning a shared
+    # filtered-segment cache across queries).
+    rows = final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k).collect()
+    seg.unpersist()
+    block_ub.unpersist()
+    return spark.createDataFrame(rows, "doc_id long, score double")

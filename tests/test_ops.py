@@ -158,11 +158,87 @@ def test_multimodal_features_deterministic(spark):
     assert {r["frame_idx"] for r in frames} == {0, 2, 4, 6}
 
 
-def test_multimodal_resize_is_stubbed(spark):
-    from searchengine_spark.ops.multimodal import media_df, resize_image
+def test_multimodal_resize_bilinear(spark):
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        resize_image(media_df(spark, 2), 16, 16)
+    from searchengine_spark.ops.multimodal import (
+        MAGIC,
+        _decode_raster,
+        bilinear_resize,
+        media_df,
+        resize_image,
+        synth_payload,
+    )
+
+    out = {r["media_id"]: r for r in resize_image(media_df(spark, 4), 16, 16).collect()}
+    assert len(out) == 4
+    for mid, row in out.items():
+        src = _decode_raster(synth_payload(mid), 32, 32)
+        expected = bilinear_resize(src, 16, 16)
+        assert bytes(row["payload"]) == MAGIC + expected.tobytes()
+        assert (row["width"], row["height"]) == (16, 16)
+    # identity resize reproduces the source raster exactly
+    ident = resize_image(media_df(spark, 2), 32, 32).collect()
+    for row in ident:
+        src = _decode_raster(synth_payload(row["media_id"]), 32, 32)
+        assert bytes(row["payload"]) == MAGIC + src.tobytes()
+    # kernel golden: 2x2 -> 3x3 bilinear with align_corners
+    k = bilinear_resize(np.array([[0, 100], [100, 200]], dtype=np.uint8), 3, 3)
+    assert k.tolist() == [[0, 50, 100], [50, 100, 150], [100, 150, 200]]
+
+
+def test_lsh_banding_bounds_hot_bucket(spark):
+    """A boilerplate line shared by many docs must NOT merge them all
+    into one LSH bucket (the band-size-1 failure mode): with b×r
+    banding ALL r minhashes of a band must collide, and the bucket cap
+    bounds the worst case."""
+    from searchengine_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [
+        (
+            i,
+            boiler + " " + " ".join(f"u{i}w{j}" for j in range(30)),
+        )
+        for i in range(80)
+    ]
+    # two genuine near-dups on top of the boilerplate corpus
+    rows.append((1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    rows.append((1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, min_matches=0).collect()
+    }
+    assert (1000, 1001) in banded
+    # bands=8 → r=1 is the round-1 scheme: ONE shared boilerplate
+    # minhash value merges docs into a bucket. r=2 requires both
+    # minhashes of a band to agree, which the 30 unique tokens per doc
+    # break — candidate volume must drop sharply on the same corpus.
+    band1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sig, min_matches=0, bands=8).collect()
+    }
+    assert len(banded) < len(band1) / 2
+    assert len(banded) < 1000  # nowhere near the 80·79/2 = 3160 blowup
+    # and the cap is a hard bound: cap=1 drops every multi-doc bucket
+    capped = lsh_candidate_pairs(sig, min_matches=0, bucket_cap=1).collect()
+    assert capped == []
+
+
+def test_nb_train_test_split(spark, docs):
+    from searchengine_spark.ops.classify import nb_classify
+
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    preds = nb_classify(train, test)
+    pred_ids = {r["doc_id"] for r in preds.select("doc_id").collect()}
+    test_ids = {r["doc_id"] for r in test.select("doc_id").collect()}
+    assert pred_ids <= test_ids          # only held-out docs are scored
+    assert len(pred_ids) >= len(test_ids) // 2  # most have feature terms
+    langs = {r["pred_class"] for r in preds.select("pred_class").distinct().collect()}
+    assert langs <= {"en", "de", "es", "fr", "zh"}
 
 
 def test_ivf_ann_recall(spark, emb):
