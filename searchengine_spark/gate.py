@@ -1324,7 +1324,66 @@ EVAL_QUERIES = ("table scan", "query window", "dup stream", "hash join sort",
                 "customer line value")
 
 
-@register("eval_map")
+def _eval_map_sql() -> str:
+    """AP/MAP oracle: per query, BM25 top-50 (the rank_bm25 SQL shape)
+    vs boolean-AND qrels; AP = Σ hit_no/rank ÷ |relevant| (the
+    reference formula, main_precision_recall_all_queries.py:190-208)."""
+    parts = [SQL_PREFIX + SQL_STATS_CTES]
+    ap_selects = []
+    for qi, q in enumerate(EVAL_QUERIES):
+        terms = sorted({t for t in q.split(" ") if t})
+        vals = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""
+, qt{qi} AS (SELECT unnest([{vals}]) AS term),
+dft{qi} AS (
+  SELECT p.term, count(*)::DOUBLE AS dft
+  FROM postings p JOIN qt{qi} q USING (term) GROUP BY p.term
+),
+wq{qi} AS (
+  SELECT d.term,
+         greatest(0.1, ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5))) AS wqt
+  FROM dft{qi} d CROSS JOIN cstats s
+),
+sc{qi} AS (
+  SELECT p.doc_id,
+         sum(w.wqt * (2.2 * p.tftd)
+             / (1.2 * (0.25 + 0.75 * l.doc_length / s.avg_dl) + p.tftd))
+           AS score
+  FROM postings p
+  JOIN wq{qi} w ON p.term = w.term
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN cstats s
+  GROUP BY p.doc_id
+),
+top{qi} AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rnk
+  FROM sc{qi} ORDER BY score DESC, doc_id DESC LIMIT 50
+),
+rel{qi} AS (
+  SELECT doc_id FROM postings WHERE term IN ({vals})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}
+),
+hit{qi} AS (
+  SELECT rnk, row_number() OVER (ORDER BY rnk) AS hit_no
+  FROM top{qi} JOIN rel{qi} USING (doc_id)
+),
+ap{qi} AS (
+  SELECT '{q}' AS query,
+         coalesce(sum(hit_no::DOUBLE / rnk), 0)
+           / (SELECT count(*) FROM rel{qi}) AS ap
+  FROM hit{qi}
+)""")
+        ap_selects.append(f"SELECT query, ap FROM ap{qi}")
+    union = "\nUNION ALL\n".join(ap_selects)
+    return "".join(parts) + f"""
+, allaps AS ({union})
+SELECT query, floor(ap * 1e6)::BIGINT AS ap_e6 FROM allaps
+UNION ALL
+SELECT '__map__' AS query, floor((SELECT avg(ap) FROM allaps) * 1e6)::BIGINT
+"""
+
+
+@register("eval_map", _eval_map_sql())
 def eval_map(spark, sf_dir):
     """MAP/latency harness (main_precision_recall_all_queries.py port)
     over boolean-AND relevance oracles; one row per query + MAP row."""
@@ -1342,10 +1401,43 @@ def eval_map(spark, sf_dir):
     return spark.createDataFrame(rows, "query string, ap_e6 long")
 
 
-@register("multimodal_features")
+MULTIMODAL_SQL = """
+WITH chunks AS (
+  SELECT i.range AS media_id, c.range AS c
+  FROM range(0, 64) i CROSS JOIN range(0, 32) c
+),
+hex AS (
+  SELECT media_id, c,
+         sha256('42:' || media_id::VARCHAR || ':' || c::VARCHAR) AS h
+  FROM chunks
+),
+bytes AS (
+  SELECT media_id, ('0x' || substr(h, 2 * j.range + 1, 2))::INT AS b
+  FROM hex CROSS JOIN range(0, 32) j
+),
+m AS (SELECT media_id, sum(b)::DOUBLE / 1024 AS mean FROM bytes GROUP BY 1),
+s AS (
+  SELECT b.media_id, any_value(m.mean) AS mean,
+         sqrt(sum((b.b - m.mean) * (b.b - m.mean)) / 1024) AS std
+  FROM bytes b JOIN m USING (media_id) GROUP BY b.media_id
+)
+SELECT media_id,
+       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       floor(mean * 1e6)::BIGINT AS mean_e6,
+       floor(std * 1e6)::BIGINT AS std_e6
+FROM s
+"""
+
+
+@register("multimodal_features", MULTIMODAL_SQL)
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction plumbing: deterministic
-    synthetic rasters → mapInPandas mean/std/histogram features."""
+    synthetic rasters → mapInPandas mean/std/histogram features.
+    Oracle: the sha256-chain payload is reconstructible in SQL
+    (DuckDB sha256 + hex-pair byte extraction); mean is exact (sum of
+    ints / 2^10) and std's squared deviations are exactly representable
+    in float64, so both engines produce bit-identical doubles."""
     from .ops.multimodal import extract_features, media_df
 
     feats = extract_features(media_df(spark, 64, partitions=4))
@@ -1356,10 +1448,46 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@register("ref_soundex_vocab")
+SOUNDEX_SQL = SQL_PREFIX + r"""
+, vocab AS (SELECT DISTINCT term FROM postings),
+d0 AS (
+  SELECT term,
+         translate(substr(term, 2), 'abcdefghijklmnopqrstuvwxyz0123456789',
+                   '01230120022455012623010202' || '0000000000') AS d
+  FROM vocab
+),
+dd AS (
+  SELECT term, d,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(d,
+           '0{2,}', '0', 'g'), '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+           '3{2,}', '3', 'g'), '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+           '6{2,}', '6', 'g') AS c
+  FROM d0
+),
+q AS (
+  SELECT term,
+         CASE WHEN length(d) <= 1 THEN ''
+              WHEN substr(d, length(d) - 1, 1) = substr(d, length(d), 1)
+                THEN substr(c, 1, length(c) - 1)
+              ELSE c END AS cq
+  FROM dd
+)
+SELECT term, upper(substr(term, 1, 1)) || rpad(replace(cq, '0', ''), 3, '0')
+         AS soundex
+FROM q
+"""
+
+
+@register("ref_soundex_vocab", SOUNDEX_SQL)
 def ref_soundex_vocab(spark, sf_dir):
     """C5/T5: reference-quirk soundex over the vocabulary (the author-
-    search index key; soundexcode.py:4-38 parity is pytest-verified)."""
+    search index key; soundexcode.py:4-38 parity is pytest-verified).
+    Oracle SQL replays the quirky algorithm exactly — per-digit RE2 run
+    collapse reproduces the adjacent-dedupe loop, the trailing-run test
+    on the RAW digit string reproduces the drop-trailing-run quirk, and
+    len<=1 yields no digits (fuzz-verified vs the Python twin on 4.6k
+    random terms)."""
     import pandas as pd
 
     from .text.tokenizer import soundex
