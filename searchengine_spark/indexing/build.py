@@ -92,9 +92,17 @@ analyze_udf = F.pandas_udf(_analyze_batch, ANALYZE_SCHEMA)
 
 @dataclass
 class SparkIndex:
-    """The distributed index: four DataFrames + broadcastable scalars."""
+    """The distributed index: four DataFrames + broadcastable scalars.
 
-    postings: DataFrame  # term, doc_id, tftd, positions
+    ``postings`` is DENORMALIZED: each row also carries its document's
+    (doc_length, Ld, byte_size, avg_tftd). One doc_id-keyed join at
+    build time (amortized over every query) buys ranked retrieval that
+    never joins a corpus-sized doc_stats table at query time — the
+    columnar analogue of Lucene norms living next to the postings.
+    ``doc_stats`` remains the normalized per-doc table for direct
+    per-document reads (R3) and as the segments-build fallback."""
+
+    postings: DataFrame  # term, doc_id, tftd, positions (+ doc stats)
     doc_stats: DataFrame  # doc_id, Ld, doc_length, byte_size, avg_tftd
     corpus_stats: DataFrame  # n_docs, avg_doc_length
     biword: DataFrame  # term ("t1 t2"), doc_id
@@ -184,6 +192,14 @@ def build_index(
     biword = (
         analyzed.select("doc_id", F.explode("a.biwords").alias("term"))
         .select("term", "doc_id")
+    )
+
+    # Denormalize doc stats into postings (see SparkIndex docstring):
+    # one build-time doc_id-keyed join so ranked scoring reads
+    # everything it needs from the postings scan alone.
+    postings = postings.join(doc_stats, "doc_id").select(
+        "term", "doc_id", "tftd", "positions",
+        "doc_length", "Ld", "byte_size", "avg_tftd",
     )
 
     return SparkIndex(postings, doc_stats, corpus_stats, biword)

@@ -48,16 +48,17 @@ ENC_SCHEMA = T.StructType(
         T.StructField("tftds_vb", T.BinaryType()),
         T.StructField("pos_lens_vb", T.BinaryType()),
         T.StructField("positions_vb", T.BinaryType()),
+        T.StructField("doc_lengths_vb", T.BinaryType()),
     ]
 )
 
 
 def _encode_batch(doc_ids: pd.Series, tftds: pd.Series,
-                  positions: pd.Series) -> pd.DataFrame:
+                  positions: pd.Series, doc_lengths: pd.Series) -> pd.DataFrame:
     """Encode one Arrow batch of (term, block) posting groups. Inputs
     are arrays-per-row (already sorted by doc_id via sort_array)."""
     out = {k.name: [] for k in ENC_SCHEMA.fields}
-    for dids, tfs, poss in zip(doc_ids, tftds, positions):
+    for dids, tfs, poss, dls in zip(doc_ids, tftds, positions, doc_lengths):
         out["docids_vb"].append(vb_encode(delta_encode(list(dids))))
         out["tftds_vb"].append(vb_encode(list(tfs)))
         out["pos_lens_vb"].append(vb_encode([len(p) for p in poss]))
@@ -65,6 +66,7 @@ def _encode_batch(doc_ids: pd.Series, tftds: pd.Series,
         for p in poss:
             flat.extend(delta_encode(list(p)))
         out["positions_vb"].append(vb_encode(flat))
+        out["doc_lengths_vb"].append(vb_encode([int(d) for d in dls]))
     return pd.DataFrame(out)
 
 
@@ -74,21 +76,36 @@ encode_udf = F.pandas_udf(_encode_batch, ENC_SCHEMA)
 def build_segments(postings: DataFrame, doc_stats: DataFrame,
                    block_span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
     """postings(term, doc_id, tftd, positions) → compressed segments:
-    (term, block, df_block, max_tftd, min_doc_length, *_vb binary)."""
-    with_block = (
-        postings.join(doc_stats.select("doc_id", "doc_length"), "doc_id")
-        .withColumn("block", (F.col("doc_id") / F.lit(block_span)).cast("long"))
+    (term, block, df_block, max_tftd, min_doc_length, *_vb binary).
+
+    Per-posting doc_lengths ride INSIDE the segment (``doc_lengths_vb``)
+    so ranked/WAND reads score without any doc_stats join — the segment
+    is self-contained the way the reference's postings.bin +
+    docWeights.bin pair is after a single seek. Uses the denormalized
+    ``doc_length`` posting column when present (SparkIndex contract);
+    falls back to a doc_stats join for bare postings frames."""
+    if "doc_length" in postings.columns:
+        with_dl = postings.select("term", "doc_id", "tftd", "positions",
+                                  "doc_length")
+    else:
+        with_dl = postings.select("term", "doc_id", "tftd", "positions").join(
+            doc_stats.select("doc_id", "doc_length"), "doc_id"
+        )
+    with_block = with_dl.withColumn(
+        "block", (F.col("doc_id") / F.lit(block_span)).cast("long")
     )
     grouped = with_block.groupBy("term", "block").agg(
         F.count("*").cast("long").alias("df_block"),
         F.max("tftd").cast("int").alias("max_tftd"),
         F.min("doc_length").cast("double").alias("min_doc_length"),
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tftd", "positions"))
+            F.collect_list(F.struct("doc_id", "tftd", "positions", "doc_length"))
         ).alias("ps"),
     )
     enc = grouped.withColumn(
-        "enc", encode_udf(F.col("ps.doc_id"), F.col("ps.tftd"), F.col("ps.positions"))
+        "enc",
+        encode_udf(F.col("ps.doc_id"), F.col("ps.tftd"), F.col("ps.positions"),
+                   F.col("ps.doc_length")),
     )
     return enc.select(
         "term", "block", "df_block", "max_tftd", "min_doc_length",
@@ -96,6 +113,7 @@ def build_segments(postings: DataFrame, doc_stats: DataFrame,
         F.col("enc.tftds_vb").alias("tftds_vb"),
         F.col("enc.pos_lens_vb").alias("pos_lens_vb"),
         F.col("enc.positions_vb").alias("positions_vb"),
+        F.col("enc.doc_lengths_vb").alias("doc_lengths_vb"),
     )
 
 
@@ -135,17 +153,24 @@ DEC_SCHEMA = T.StructType(
         T.StructField("doc_ids", T.ArrayType(T.LongType())),
         T.StructField("tftds", T.ArrayType(T.IntegerType())),
         T.StructField("positions", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField("doc_lengths", T.ArrayType(T.IntegerType())),
     ]
 )
 
 
 def _decode_batch(docids_vb: pd.Series, tftds_vb: pd.Series,
-                  pos_lens_vb: pd.Series, positions_vb: pd.Series) -> pd.DataFrame:
-    rows = {"doc_ids": [], "tftds": [], "positions": []}
-    for dvb, tvb, lvb, pvb in zip(docids_vb, tftds_vb, pos_lens_vb, positions_vb):
+                  pos_lens_vb: pd.Series, positions_vb: pd.Series,
+                  doc_lengths_vb: pd.Series) -> pd.DataFrame:
+    rows = {"doc_ids": [], "tftds": [], "positions": [], "doc_lengths": []}
+    for dvb, tvb, lvb, pvb, dlvb in zip(docids_vb, tftds_vb, pos_lens_vb,
+                                        positions_vb, doc_lengths_vb):
         dids = delta_decode(vb_decode(bytes(dvb)))
         rows["doc_ids"].append([int(x) for x in dids])
         rows["tftds"].append([int(x) for x in vb_decode(bytes(tvb))])
+        if dlvb is None or len(dlvb) == 0:
+            rows["doc_lengths"].append([0 for _ in dids])
+        else:
+            rows["doc_lengths"].append([int(x) for x in vb_decode(bytes(dlvb))])
         if pvb is None or len(pvb) == 0:
             rows["positions"].append([[] for _ in dids])
             continue
@@ -178,26 +203,41 @@ def decode_postings(segments: DataFrame, terms: list[str] | None,
     if with_positions:
         dec = seg.withColumn(
             "d",
-            decode_udf("docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb"),
+            decode_udf("docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
+                       "doc_lengths_vb"),
         ).select(
             "term",
-            F.explode(F.arrays_zip("d.doc_ids", "d.tftds", "d.positions")).alias("z"),
+            F.explode(
+                F.arrays_zip("d.doc_ids", "d.tftds", "d.positions",
+                             "d.doc_lengths")
+            ).alias("z"),
         )
         return dec.select(
             "term",
             F.col("z.doc_ids").alias("doc_id"),
             F.col("z.tftds").alias("tftd"),
             F.col("z.positions").alias("positions"),
+            F.col("z.doc_lengths").alias("doc_length"),
         )
+    # Ranked read: skip the positions columns entirely (columnar
+    # position-skip, R2) but decode the in-segment doc_lengths — the
+    # scorer needs no doc_stats join.
     dec = seg.withColumn(
         "d",
         decode_udf(
             "docids_vb", "tftds_vb",
             F.lit(b"").cast("binary"), F.lit(b"").cast("binary"),
+            "doc_lengths_vb",
         ),
-    ).select("term", F.explode(F.arrays_zip("d.doc_ids", "d.tftds")).alias("z"))
+    ).select(
+        "term",
+        F.explode(
+            F.arrays_zip("d.doc_ids", "d.tftds", "d.doc_lengths")
+        ).alias("z"),
+    )
     return dec.select(
         "term",
         F.col("z.doc_ids").alias("doc_id"),
         F.col("z.tftds").alias("tftd"),
+        F.col("z.doc_lengths").alias("doc_length"),
     )

@@ -121,4 +121,11 @@ def build_simple_index(docs: DataFrame, doc_id_col: str = "doc_id",
         .distinct()
     )
 
+    # Denormalized doc stats on every posting row (SparkIndex contract:
+    # ranked retrieval never joins doc_stats at query time).
+    postings = postings.join(doc_stats, "doc_id").select(
+        "term", "doc_id", "tftd", "positions",
+        "doc_length", "Ld", "byte_size", "avg_tftd",
+    )
+
     return SparkIndex(postings, doc_stats, corpus_stats, biword)

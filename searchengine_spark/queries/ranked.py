@@ -40,15 +40,22 @@ def query_rank_terms(query: str, normalize=None) -> dict[str, int]:
     when two distinct raw terms normalize to the same index term — the
     reference then accumulates that term's postings twice.
 
+    The EMPTY normalized term is kept: the reference's analyzer indexes
+    '' for punctuation-only tokens (newtokenprocessor.py strips to
+    nothing, main loop add_term's it anyway), and its query path looks
+    '' up like any term — Cranfield queries end in " . \\n", so ''
+    carries dft≈N and a real accumulator contribution under
+    default/bm25 (under tfidf/wacky its wqt is exactly 0, which is why
+    only two strategies expose the quirk). Simple-analyzer indexes
+    contain no '' term, so keeping it is a no-op there.
+
     ``normalize`` defaults to the reference rank-mode rules
     (termliteral.py:36-42); pass ``simple.simple_query_term`` for
     simple-analyzer indexes."""
     normalize = normalize or term_for_rank_mode
     counts: Counter[str] = Counter()
     for raw in set(query.split(" ")):
-        term = normalize(raw)
-        if term:
-            counts[term] += 1
+        counts[normalize(raw)] += 1
     return dict(counts)
 
 
@@ -116,10 +123,16 @@ def rank_topk(
         [(t, float(m)) for t, m in terms.items()], "term string, mult double"
     )
     # Ranked path never reads positions: columnar projection gives the
-    # reference's position-skipping read (R2) for free.
+    # reference's position-skipping read (R2) for free. Doc stats come
+    # from the DENORMALIZED posting columns (SparkIndex contract) — no
+    # corpus-sized doc_stats join at query time; the legacy join path
+    # remains only for un-enriched postings frames.
+    stat_cols = ("doc_length", "Ld", "byte_size", "avg_tftd")
+    enriched = set(stat_cols) <= set(index.postings.columns)
+    cols = ["term", "doc_id", "tftd", *(stat_cols if enriched else ())]
     matched = term_filter(
         index.postings, list(terms), index.term_buckets
-    ).select("term", "doc_id", "tftd")
+    ).select(*cols)
 
     dft = matched.groupBy("term").agg(F.count("*").alias("dft"))
     dft = dft.withColumn("wqt", _wqt(strategy, n_docs))
@@ -127,11 +140,13 @@ def rank_topk(
     if prune and threshold is not None:
         dft = dft.filter(F.col("wqt") >= threshold)
 
+    scored = matched.join(F.broadcast(dft.select("term", "wqt")), "term").join(
+        F.broadcast(mult_df), "term"
+    )
+    if not enriched:
+        scored = scored.join(index.doc_stats, "doc_id")
     scored = (
-        matched.join(F.broadcast(dft.select("term", "wqt")), "term")
-        .join(F.broadcast(mult_df), "term")
-        .join(index.doc_stats, "doc_id")
-        .withColumn("contrib", _wdt(strategy, avg_dl) * F.col("wqt") * F.col("mult"))
+        scored.withColumn("contrib", _wdt(strategy, avg_dl) * F.col("wqt") * F.col("mult"))
         .groupBy("doc_id")
         .agg(
             F.sum("contrib").alias("raw_score"),
@@ -146,3 +161,80 @@ def rank_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
+
+
+def rank_topk_batch(
+    index: SparkIndex,
+    queries: dict[str, str],
+    strategy: str = "bm25",
+    k: int = 10,
+    normalize=None,
+) -> DataFrame:
+    """Batch ranked retrieval: ALL queries in ONE Spark job.
+
+    Returns DataFrame(query_id, doc_id, score, rank) with rank 1..k per
+    query (reference tie-break per query). Per-query results are
+    identical to :func:`rank_topk` — dft/wqt are per-term properties,
+    independent of which query mentions the term.
+
+    Scale shape: one postings scan filtered to the UNION of all query
+    terms (partition-pruned), one broadcast of the (query_id, term,
+    mult) table — postings fan out to the queries sharing each term —
+    one partial-agg shuffle on (query_id, doc_id), then a per-query
+    window top-k (parallel across queries; no global sort). This is the
+    evaluation-harness path: 225 Cranfield queries cost one job, not
+    225 (tools/cranfield_eval.py), and at warehouse scale it is how a
+    query log replays against the index.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs, avg_dl = index.corpus_scalars()
+    spark = index.postings.sparkSession
+    qt_rows = [
+        (qid, t, float(m))
+        for qid, q in queries.items()
+        for t, m in query_rank_terms(q, normalize).items()
+    ]
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    qt = spark.createDataFrame(
+        qt_rows, "query_id string, term string, mult double"
+    )
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    stat_cols = ("doc_length", "Ld", "byte_size", "avg_tftd")
+    enriched = set(stat_cols) <= set(index.postings.columns)
+    cols = ["term", "doc_id", "tftd", *(stat_cols if enriched else ())]
+    matched = term_filter(index.postings, terms, index.term_buckets).select(*cols)
+
+    dft = matched.groupBy("term").agg(F.count("*").alias("dft"))
+    dft = dft.withColumn("wqt", _wqt(strategy, n_docs))
+
+    scored = matched.join(F.broadcast(dft.select("term", "wqt")), "term").join(
+        F.broadcast(qt), "term"
+    )
+    if not enriched:
+        scored = scored.join(index.doc_stats, "doc_id")
+    scored = (
+        scored.withColumn(
+            "contrib", _wdt(strategy, avg_dl) * F.col("wqt") * F.col("mult")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("raw_score"),
+            F.first("Ld").alias("Ld"),
+            F.first("byte_size").alias("byte_size"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("raw_score") / _normalizer(strategy)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.desc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -75,6 +75,7 @@ def wand_topk(
     seg = term_filter(segments, list(terms), term_buckets).select(
         "term", "block", "df_block", "max_tftd", "min_doc_length",
         "docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
+        "doc_lengths_vb",
     )
     seg = seg.cache()
 
@@ -111,15 +112,18 @@ def wand_topk(
             break
 
     def exact_scores(seg_subset: DataFrame) -> DataFrame:
+        # doc_length decodes from the segment itself (doc_lengths_vb):
+        # NO doc_stats join — at 10^12 docs that join would shuffle a
+        # corpus-sized table per query.
         postings = decode_postings(seg_subset, list(terms),
                                    term_buckets=None, with_positions=False)
         return (
             postings.join(F.broadcast(wq), "term")
-            .join(index.doc_stats.select("doc_id", "doc_length"), "doc_id")
             .withColumn(
                 "contrib",
                 F.col("wqt")
-                * bm25_wdt_expr(F.col("tftd"), F.col("doc_length"), avg_dl),
+                * bm25_wdt_expr(F.col("tftd"), F.col("doc_length").cast("double"),
+                                avg_dl),
             )
             .groupBy("doc_id")
             .agg(F.sum("contrib").alias("score"))
