@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..text.tokenizer import analyze_document, process_token
+from ..text.tokenizer import analyze_document, analyze_document_stream, process_token
 
 ANALYZE_SCHEMA = T.StructType(
     [
@@ -61,33 +61,46 @@ _TOKEN_CACHE: dict[str, list[str]] = {}
 _TOKEN_CACHE_MAX = 2_000_000
 
 
-def _analyze_batch(texts: pd.Series) -> pd.DataFrame:
-    """Analyze one Arrow batch of documents; stems each unique token once."""
-    cache = _TOKEN_CACHE
-    if len(cache) > _TOKEN_CACHE_MAX:
-        cache.clear()
+def _make_analyze_batch(analyze_fn):
+    def _analyze_batch(texts: pd.Series) -> pd.DataFrame:
+        """Analyze one Arrow batch of documents; stems each unique
+        token once."""
+        cache = _TOKEN_CACHE
+        if len(cache) > _TOKEN_CACHE_MAX:
+            cache.clear()
 
-    def cached_processor(tok: str) -> list[str]:
-        exp = cache.get(tok)
-        if exp is None:
-            exp = process_token(tok)
-            cache[tok] = exp
-        return exp
+        def cached_processor(tok: str) -> list[str]:
+            exp = cache.get(tok)
+            if exp is None:
+                exp = process_token(tok)
+                cache[tok] = exp
+            return exp
 
-    terms_col, len_col, biword_col = [], [], []
-    for text in texts:
-        ana = analyze_document(text if text is not None else "", cached_processor)
-        terms_col.append([{"term": t, "pos": p} for t, p in ana.term_positions])
-        len_col.append(ana.doc_length)
-        # per-doc dedupe mirrors InvertedIndex.add_term's consecutive
-        # same-doc dedupe (invertedindex.py:11-17)
-        biword_col.append(list(dict.fromkeys(ana.biwords)))
-    return pd.DataFrame(
-        {"terms": terms_col, "doc_length": len_col, "biwords": biword_col}
-    )
+        terms_col, len_col, biword_col = [], [], []
+        for text in texts:
+            ana = analyze_fn(text if text is not None else "", cached_processor)
+            terms_col.append([{"term": t, "pos": p} for t, p in ana.term_positions])
+            len_col.append(ana.doc_length)
+            # per-doc dedupe mirrors InvertedIndex.add_term's consecutive
+            # same-doc dedupe (invertedindex.py:11-17)
+            biword_col.append(list(dict.fromkeys(ana.biwords)))
+        return pd.DataFrame(
+            {"terms": terms_col, "doc_length": len_col, "biwords": biword_col}
+        )
+
+    return _analyze_batch
 
 
-analyze_udf = F.pandas_udf(_analyze_batch, ANALYZE_SCHEMA)
+# Two analyzer UDFs for the reference's TWO indexing loops:
+# * analyze_udf — main.py:151-213 pairwise loop (biwords, +1 docLength
+#   quirk, 1-token docs dropped): the flagship interactive driver.
+# * analyze_stream_udf — the plain per-token loop of its Cranfield and
+#   nps drivers (main_precision_recall_all_queries.py:26-43,
+#   main_disk.py:24-35): exact token-count docLength, no biwords.
+analyze_udf = F.pandas_udf(_make_analyze_batch(analyze_document), ANALYZE_SCHEMA)
+analyze_stream_udf = F.pandas_udf(
+    _make_analyze_batch(analyze_document_stream), ANALYZE_SCHEMA
+)
 
 
 @dataclass
@@ -129,6 +142,7 @@ def build_index(
     text_col: str = "text",
     byte_size_col: str | None = None,
     persist: bool = False,
+    loop: str = "pairwise",
 ) -> SparkIndex:
     """Build the positional index from a documents DataFrame.
 
@@ -138,15 +152,19 @@ def build_index(
     outputs (postings/doc_stats/corpus_stats/biword) tokenize each doc
     ONCE instead of once per output action — at warehouse scale the
     same role is played by a checkpointed tokens stage on disk.
+    ``loop``: which reference indexing loop to mirror — "pairwise"
+    (main.py, biwords + docLength quirk) or "stream" (the
+    Cranfield/nps drivers' plain per-token loop; see analyze_udf note).
     """
     byte_size = (
         F.col(byte_size_col).cast("double")
         if byte_size_col
         else F.octet_length(F.col(text_col)).cast("double")
     )
+    udf = {"pairwise": analyze_udf, "stream": analyze_stream_udf}[loop]
     analyzed = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
-        analyze_udf(F.col(text_col)).alias("a"),
+        udf(F.col(text_col)).alias("a"),
         byte_size.alias("byte_size"),
     )
     if persist:

@@ -16,10 +16,12 @@ Reference parity notes:
   machine with sorted enumeration the ids coincide.
 
 Scale: listing happens driver-side (cheap metadata), content reads are
-executor-side via Spark's file sources — ``spark.read.text(...,
-wholetext=True)`` / ``spark.read.json`` with ``input_file_name()``, so
-a 10^6-file corpus reads in parallel. Doc ids come from a broadcast
-path→id map built from the sorted listing, not from any global sort of
+executor-side — both loaders distribute the sorted PATH LIST as rows
+and read/parse inside Arrow-batched ``mapInPandas`` (Hadoop's
+wholetext/json file sources pay 10-30ms of per-file machinery; the
+path-list reader is ~0.1ms/file and is the same pattern an
+object-store corpus uses, the open() becoming a GET per row). Doc ids
+are assigned from the sorted listing driver-side — no global sort of
 row data.
 """
 
@@ -31,29 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _uri(path: str) -> str:
-    """Match Spark's input_file_name() URI form (file:// + url-quoted)."""
-    from urllib.parse import quote
-
-    return "file://" + quote(os.path.abspath(path))
-
-
 def _list_sorted(path: str, suffix: str) -> list[str]:
     names = sorted(
         n for n in os.listdir(path) if n.endswith(suffix)
     )
     return [os.path.join(path, n) for n in names]
-
-
-def _with_doc_ids(spark: SparkSession, df: DataFrame, files: list[str]) -> DataFrame:
-    id_map = spark.createDataFrame(
-        [(_uri(p), i, os.path.splitext(os.path.basename(p))[0])
-         for i, p in enumerate(files)],
-        "uri string, doc_id long, stem string",
-    )
-    return df.withColumn("uri", F.input_file_name()).join(
-        F.broadcast(id_map), "uri"
-    )
 
 
 def load_text_directory(spark: SparkSession, path: str,
@@ -115,26 +99,64 @@ def load_json_directory(spark: SparkSession, path: str,
                         suffix: str = ".json") -> DataFrame:
     """documents(doc_id, title, text, author, url, byte_size) from a
     directory of JSON docs with title/body(+author,url) keys
-    (jsonfiledocument.py:24-66); text = the body string."""
+    (jsonfiledocument.py:24-66); text = the body string.
+
+    Same small-file strategy as :func:`load_text_directory`: distribute
+    the PATH LIST as rows and parse with python ``json.load`` inside an
+    Arrow-batched mapInPandas — ``spark.read.json(multiLine)`` pays
+    10-30ms of Hadoop machinery per file (measured: the 36,804-doc
+    nps corpus took minutes just to scan), and ``json.load`` is also
+    byte-exactly what the reference's JsonFileDocument does."""
     files = _list_sorted(path, suffix)
     if not files:
         return spark.createDataFrame(
             [], "doc_id long, title string, text string, author string, "
                 "url string, byte_size long",
         )
-    raw = spark.read.option("multiLine", "true").json(f"{path}/*{suffix}")
-    sized = spark.createDataFrame(
-        [(_uri(p), os.path.getsize(p)) for p in files],
-        "uri string, byte_size long",
+    import json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    meta = [
+        (p, i, os.path.getsize(p))
+        for i, p in enumerate(files)
+    ]
+    parts = max(min(spark.sparkContext.defaultParallelism * 2, len(files)), 1)
+    paths_df = spark.createDataFrame(
+        meta, "path string, doc_id long, byte_size long"
+    ).repartition(parts)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("author", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("byte_size", T.LongType()),
+        ]
     )
-    cols = set(raw.columns)
-    author = F.col("author") if "author" in cols else F.lit(None).cast("string")
-    url = F.col("url") if "url" in cols else F.lit(None).cast("string")
-    return (
-        _with_doc_ids(spark, raw, files)
-        .join(F.broadcast(sized), "uri")
-        .select(
-            "doc_id", F.col("title"), F.col("body").alias("text"),
-            author.alias("author"), url.alias("url"), "byte_size",
-        )
-    )
+
+    def read_files(batches):
+        for pdf in batches:
+            titles, texts, authors, urls = [], [], [], []
+            for p in pdf["path"]:
+                with open(p, encoding="utf-8") as fh:
+                    data = json.load(fh)
+                titles.append(data.get("title"))
+                texts.append(data.get("body"))
+                authors.append(data.get("author"))
+                urls.append(data.get("url"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": titles,
+                    "text": texts,
+                    "author": authors,
+                    "url": urls,
+                    "byte_size": pdf["byte_size"],
+                }
+            )
+
+    return paths_df.mapInPandas(read_files, schema)

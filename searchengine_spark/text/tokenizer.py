@@ -172,3 +172,24 @@ def analyze_document(text: str, processor=process_token) -> DocAnalysis:
         res.term_positions.append((term, position))
     res.doc_length += 1
     return res
+
+
+def analyze_document_stream(text: str, processor=process_token) -> DocAnalysis:
+    """The reference's OTHER indexing loop — the plain per-token stream
+    used by its Cranfield and nps drivers
+    (main_precision_recall_all_queries.py:26-43, main_disk.py:24-35):
+    every token's terms index at its position, docLength is the exact
+    token count (no trailing +1 — an empty doc is 0, and a 1-token doc
+    IS indexed), and no biword pass. The two loops produce identical
+    indexes except for empty docs (docLength 1 vs 0) and 1-token docs
+    (which main.py's pairwise loop silently drops)."""
+    res = DocAnalysis()
+    tokens = english_tokens(text)
+    position = 1
+    for tok in tokens:
+        for term in processor(tok):
+            res.term_tftd[term] = res.term_tftd.get(term, 0) + 1
+            res.term_positions.append((term, position))
+        position += 1
+        res.doc_length += 1
+    return res

@@ -181,7 +181,7 @@ def main() -> None:
         spark = get_spark("cranfield-eval", cores=8)
         docs = load_json_directory(spark, path)
         t0 = time.time()
-        sidx = build_index(docs, byte_size_col="byte_size", persist=True).cache()
+        sidx = build_index(docs, byte_size_col="byte_size", persist=True, loop="stream").cache()
         sidx.postings.count()
         n_spark_docs = sidx.corpus_scalars()[0]
         out["spark_index_s"] = round(time.time() - t0, 2)

@@ -99,7 +99,7 @@ def main() -> None:
         spark = get_spark("nps-parity", cores=16)
         docs = load_json_directory(spark, path)
         t0 = time.time()
-        sidx = build_index(docs, byte_size_col="byte_size", persist=True).cache()
+        sidx = build_index(docs, byte_size_col="byte_size", persist=True, loop="stream").cache()
         sidx.postings.count()
         out["n_docs"] = sidx.corpus_scalars()[0]
         out["spark_index_s"] = round(time.time() - t0, 2)
