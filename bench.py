@@ -32,7 +32,7 @@ SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "400000"))
 SCALE_CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_N", "2"))
 SCALE_CORES_4N = SCALE_CORES_N * 4
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "1000000"))
+WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "16000000"))
 
 BM25_QUERIES = [
     "table scan merge",

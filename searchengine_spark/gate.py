@@ -535,6 +535,75 @@ WHERE a.term = 'table' AND b.term = 'zzznotaword'
 )
 
 
+BATCH_RANK_QUERIES = {
+    "q_a": "table scan merge",
+    "q_b": "customer line value",
+    "q_c": "hash join sort",
+}
+
+
+def _rank_batch_sql(queries: dict[str, str], k: int = 10) -> str:
+    """BM25 batch-rank oracle: one ranking CTE chain per query, unioned
+    with query_id + rank columns (the rank_topk_batch contract)."""
+    parts = [SQL_PREFIX + SQL_STATS_CTES]
+    sels = []
+    for qi, (qid, q) in enumerate(sorted(queries.items())):
+        terms = sorted({t for t in q.split(" ") if t})
+        vals = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""
+, bqt{qi} AS (SELECT unnest([{vals}]) AS term),
+bdft{qi} AS (
+  SELECT p.term, count(*)::DOUBLE AS dft
+  FROM postings p JOIN bqt{qi} q USING (term) GROUP BY p.term
+),
+bwq{qi} AS (
+  SELECT d.term,
+         greatest(0.1, ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5))) AS wqt
+  FROM bdft{qi} d CROSS JOIN cstats s
+),
+bsc{qi} AS (
+  SELECT p.doc_id,
+         sum(w.wqt * (2.2 * p.tftd)
+             / (1.2 * (0.25 + 0.75 * l.doc_length / s.avg_dl) + p.tftd))
+           AS score
+  FROM postings p
+  JOIN bwq{qi} w ON p.term = w.term
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN cstats s
+  GROUP BY p.doc_id
+),
+btop{qi} AS (
+  SELECT '{qid}' AS query_id, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rnk
+  FROM bsc{qi} ORDER BY score DESC, doc_id DESC LIMIT {k}
+)""")
+        sels.append(f"SELECT * FROM btop{qi}")
+    union = "\nUNION ALL\n".join(sels)
+    return "".join(parts) + f"""
+SELECT query_id, doc_id, floor(score * 1e6)::BIGINT AS score_e6,
+       rnk::BIGINT AS rank
+FROM ({union})
+"""
+
+
+@register("rank_bm25_batch", _rank_batch_sql(BATCH_RANK_QUERIES))
+def rank_bm25_batch(spark, sf_dir):
+    """Batch ranked retrieval: 3 queries in ONE job (one term-pruned
+    scan + broadcast query table + per-query window top-k) — the
+    query-log replay operator (queries/ranked.rank_topk_batch)."""
+    from .queries.ranked import rank_topk_batch
+
+    idx = simple_index(spark, sf_dir)
+    top = rank_topk_batch(idx, BATCH_RANK_QUERIES, "bm25", 10,
+                          normalize=simple_query_term)
+    return top.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _segments(spark, sf_dir):
     """Compressed block segments over the simple index (memoized)."""
     key = (id(spark.sparkContext), sf_dir, "segments")

@@ -7,7 +7,10 @@ threshold (/root/reference/vocab_elimination_main_precision_demo.py:142,171);
 block-max WAND generalizes it to per-block score upper bounds
 (Broder et al. CIKM'03; Ding & Suel SIGIR'11 — see PAPERS.md).
 
-Safe two-phase plan, everything a DataFrame op:
+Safe two-phase logic, compiled into ONE lazy DataFrame plan (round-2
+rewrite: the round-1 version paid two driver collects per query —
+champion ids and θ — plus per-query caches; everything is now a
+dataflow, θ rides along as a broadcast 1-row aggregate):
 
 1. **Upper bounds** (metadata only — no posting decode): for each
    (term, block) of the query's terms, ``ub = wqt · wdt_max`` where
@@ -15,16 +18,21 @@ Safe two-phase plan, everything a DataFrame op:
    into the BM25 wdt (wdt is increasing in tftd, decreasing in
    doc_length). Block totals ``UB(block) = Σ_terms ub`` overestimate
    every doc's score in that block.
-2. **Champion pass**: decode only the top ``champion_blocks`` blocks by
-   UB (enough to cover ≥ k docs), score exactly, take the k-th best
-   exact score as threshold θ.
-3. **Pruned pass**: decode + score ONLY blocks with ``UB ≥ θ``; blocks
+2. **Champion blocks**: top ``champion_blocks`` blocks by UB
+   (TakeOrderedAndProject — no global sort), greedily trimmed by a
+   running doc-count window (tiny: ≤ champion_blocks rows) to the
+   prefix covering ≥ k docs.
+3. **θ**: decode ONLY champion blocks, score exactly, take the k-th
+   best exact score (−∞ when champions cover < k docs) — a 1-row
+   aggregate, broadcast.
+4. **Pruned pass**: decode + score ONLY blocks with ``UB ≥ θ``; blocks
    below θ cannot contain a top-k doc (their every doc scores < θ ≤
    current k-th). Final top-k over the survivors.
 
 The pruned pass re-scores champion blocks too — idempotent, and keeps
 the plan a single decode→score pipeline. Exactness is asserted against
-the unpruned ``rank_topk`` in tests.
+the unpruned ``rank_topk`` in tests and the driver's SQL oracle
+(``wand_bm25`` shares ``rank_bm25``'s SQL verbatim).
 """
 
 from __future__ import annotations
@@ -60,10 +68,14 @@ def wand_topk(
     term_buckets: int | None = None,
     champion_blocks: int = 8,
 ) -> DataFrame:
-    """BM25 top-k via block-max WAND. ``index`` supplies doc/corpus
-    stats; ``segments`` is the compressed block table. Returns
-    DataFrame(doc_id, score) with the reference tie-break
-    (score desc, doc_id desc — main.py:463-467)."""
+    """BM25 top-k via block-max WAND — one lazy DataFrame plan, zero
+    driver collects, zero caches. ``index`` supplies corpus scalars;
+    ``segments`` is the compressed block table (doc_lengths ride inside
+    the segments — no doc_stats join). Returns DataFrame(doc_id, score)
+    with the reference tie-break (score desc, doc_id desc —
+    main.py:463-467)."""
+    from pyspark.sql.window import Window
+
     spark = segments.sparkSession
     terms = query_rank_terms(query, normalize)
     if not terms:
@@ -77,9 +89,8 @@ def wand_topk(
         "docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
         "doc_lengths_vb",
     )
-    seg = seg.cache()
 
-    # term-level dft = Σ blocks df_block; wqt per term
+    # term-level dft = Σ blocks df_block; wqt per term (tiny broadcast)
     dft = seg.groupBy("term").agg(F.sum("df_block").alias("dft"))
     mult = spark.createDataFrame(
         [(t, float(m)) for t, m in terms.items()], "term string, mult double"
@@ -100,16 +111,20 @@ def wand_topk(
         )
         .groupBy("block")
         .agg(F.sum("ub_t").alias("ub"), F.sum("df_block").alias("docs_in_block"))
-    ).cache()
+    )
 
-    # 2. champion blocks: smallest set of top-UB blocks covering ≥ k docs
-    champs = block_ub.orderBy(F.desc("ub")).limit(max(champion_blocks, 1)).collect()
-    covered, champ_ids = 0, []
-    for r in champs:
-        champ_ids.append(r["block"])
-        covered += r["docs_in_block"]
-        if covered >= k:
-            break
+    # 2. champion prefix: top-C blocks by UB (per-partition heaps), then
+    # keep the UB-desc prefix whose cumulative doc count first reaches k
+    # (window over ≤C rows — single tiny partition by construction)
+    topc = block_ub.orderBy(F.desc("ub")).limit(max(champion_blocks, 1))
+    w = Window.orderBy(F.desc("ub"), F.asc("block")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    champs = (
+        topc.withColumn("cum_docs", F.sum("docs_in_block").over(w))
+        .filter(F.col("cum_docs") - F.col("docs_in_block") < k)
+        .select("block")
+    )
 
     def exact_scores(seg_subset: DataFrame) -> DataFrame:
         # doc_length decodes from the segment itself (doc_lengths_vb):
@@ -129,25 +144,26 @@ def wand_topk(
             .agg(F.sum("contrib").alias("score"))
         )
 
-    champ_scores = exact_scores(seg.filter(F.col("block").isin(champ_ids)))
-    kth = (
+    # 3. θ = k-th best exact score among champion docs, −∞ when the
+    # champions cover < k docs — a 1-row aggregate, broadcast into the
+    # pruning filter instead of collected to the driver
+    champ_scores = exact_scores(seg.join(F.broadcast(champs), "block"))
+    theta_df = (
         champ_scores.orderBy(F.desc("score"), F.desc("doc_id"))
         .limit(k)
-        .agg(F.min("score").alias("kth"), F.count("*").alias("n"))
-        .collect()[0]
+        .agg(
+            F.when(F.count("*") >= k, F.min("score"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("theta")
+        )
     )
-    theta = float(kth["kth"]) if kth["n"] is not None and kth["n"] >= k else float("-inf")
 
-    # 3. prune blocks whose UB < θ, score survivors exactly
-    keep_blocks = block_ub.filter(F.col("ub") >= F.lit(theta)).select("block")
+    # 4. prune blocks whose UB < θ, score survivors exactly
+    keep_blocks = (
+        block_ub.join(F.broadcast(theta_df))
+        .filter(F.col("ub") >= F.col("theta"))
+        .select("block")
+    )
     survivors = seg.join(F.broadcast(keep_blocks), "block")
     final = exact_scores(survivors)
-    # WAND is inherently eager (the champion pass already collected);
-    # materialize the k result rows now so the per-query caches can be
-    # released — repeated queries in one session must not accumulate
-    # cached blocks (the alternative is the caller owning a shared
-    # filtered-segment cache across queries).
-    rows = final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k).collect()
-    seg.unpersist()
-    block_ub.unpersist()
-    return spark.createDataFrame(rows, "doc_id long, score double")
+    return final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
