@@ -32,6 +32,7 @@ class Repl:
         self.rank_formula = "bm25"
         self.docs: DataFrame | None = None
         self.index: SparkIndex | None = None
+        self.local = None
         if corpus_dir:
             self.cmd_index(corpus_dir, json_corpus)
 
@@ -52,7 +53,19 @@ class Repl:
             self.docs, byte_size_col="byte_size", persist=True
         ).cache()
         n = self.docs.count()
-        return f"indexed {n} documents from {path}"
+        # Interactive fast path: collect small indexes into the
+        # in-process reference-semantics engine once (~reference-grade
+        # per-query latency instead of Spark's fixed job overhead);
+        # large corpora stay on the distributed plans.
+        from .queries.local import IndexTooLargeError, LocalQueryCache
+
+        try:
+            self.local = LocalQueryCache(self.index)
+            mode = "local fast path"
+        except IndexTooLargeError:
+            self.local = None
+            mode = "distributed"
+        return f"indexed {n} documents from {path} ({mode})"
 
     def cmd_stem(self, token: str) -> str:
         return " ".join(process_token(token))
@@ -93,14 +106,23 @@ class Repl:
             return "no index loaded — use :index <dir>"
         titles = {r["doc_id"]: r["title"] for r in self.docs.select("doc_id", "title").collect()} \
             if "title" in self.docs.columns else {}
+        local = getattr(self, "local", None)
         if self.query_style == "boolean":
-            rows = boolean_query(self.index, q).collect()
-            lines = [f"{r['doc_id']}\t{titles.get(r['doc_id'], '')}" for r in rows]
-            return "\n".join(lines) + f"\n{len(rows)} documents"
-        rows = rank_topk(self.index, q, self.rank_formula, 10).collect()
+            if local is not None:
+                ids = local.boolean(q)
+            else:
+                ids = [r["doc_id"] for r in boolean_query(self.index, q).collect()]
+            lines = [f"{d}\t{titles.get(d, '')}" for d in ids]
+            return "\n".join(lines) + f"\n{len(ids)} documents"
+        if local is not None:
+            ranked = local.rank_topk(q, self.rank_formula, 10)
+        else:
+            ranked = [
+                (r["doc_id"], r["score"])
+                for r in rank_topk(self.index, q, self.rank_formula, 10).collect()
+            ]
         return "\n".join(
-            f"{r['doc_id']}\t{titles.get(r['doc_id'], '')}\t{r['score']:.9f}"
-            for r in rows
+            f"{d}\t{titles.get(d, '')}\t{s:.9f}" for d, s in ranked
         )
 
     def handle(self, line: str) -> str | None:

@@ -17,6 +17,7 @@ def test_bench_emits_single_json_line():
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_SCALING="0",
         SPARK_GRAFT_PAGES_N="300",
+        SPARK_GRAFT_WAND_N="100000",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],

@@ -63,3 +63,53 @@ def test_repl_author_search(spark, tmp_path):
     out = r.handle(":author smith")
     # smith and smyth share a soundex code; jones does not
     assert "smith" in out and "smyth" in out and "jones" not in out
+
+def test_local_fast_path_matches_distributed(spark):
+    """LocalQueryCache answers == the distributed engine's, for both
+    ranked (all strategies) and boolean queries, on a real docs table."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.indexing.build import build_index
+    from searchengine_spark.queries.engine import boolean_query
+    from searchengine_spark.queries.local import LocalQueryCache
+    from searchengine_spark.queries.ranked import STRATEGIES, rank_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(docs, persist=True).cache()
+    idx.postings.count()
+    local = LocalQueryCache(idx)
+
+    for q in ("table scan merge", "customer line value"):
+        for strategy in STRATEGIES:
+            dist = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in rank_topk(idx, q, strategy, 10).collect()
+            ]
+            t0 = time.time()
+            loc = [(d, round(s, 9)) for d, s in local.rank_topk(q, strategy, 10)]
+            took = time.time() - t0
+            assert loc == dist, (strategy, q)
+            assert took < 0.1  # interactive-grade latency
+
+    for q in ("table scan", "query + window", "table -stream",
+              '"customer line"'):
+        dist = sorted(r["doc_id"] for r in boolean_query(idx, q).collect())
+        assert local.boolean(q) == dist, q
+
+
+def test_local_cache_guard():
+    import pytest as _pytest
+
+    from searchengine_spark.queries.local import (
+        IndexTooLargeError,
+        collect_local_index,
+    )
+
+    class FakeIndex:
+        def corpus_scalars(self):
+            return (10_000_000, 100.0)
+
+    with _pytest.raises(IndexTooLargeError):
+        collect_local_index(FakeIndex())
