@@ -7,10 +7,13 @@ threshold (/root/reference/vocab_elimination_main_precision_demo.py:142,171);
 block-max WAND generalizes it to per-block score upper bounds
 (Broder et al. CIKM'03; Ding & Suel SIGIR'11 — see PAPERS.md).
 
-Safe two-phase logic, compiled into ONE lazy DataFrame plan (round-2
-rewrite: the round-1 version paid two driver collects per query —
-champion ids and θ — plus per-query caches; everything is now a
-dataflow, θ rides along as a broadcast 1-row aggregate):
+Safe two-phase logic, compiled into ONE main DataFrame action plus a
+single ≤|terms|-row metadata collect (round-2 rewrite: the round-1
+version paid two data-dependent driver collects per query — champion
+ids and θ — plus per-query caches; champion selection and θ are now
+dataflow, θ riding along as a broadcast 1-row aggregate, and the only
+driver round-trip is the per-term dft lookup — the Spark analogue of
+the reference's SQLite vocabulary seek):
 
 1. **Upper bounds** (metadata only — no posting decode): for each
    (term, block) of the query's terms, ``ub = wqt · wdt_max`` where
@@ -68,8 +71,9 @@ def wand_topk(
     term_buckets: int | None = None,
     champion_blocks: int = 8,
 ) -> DataFrame:
-    """BM25 top-k via block-max WAND — one lazy DataFrame plan, zero
-    driver collects, zero caches. ``index`` supplies corpus scalars;
+    """BM25 top-k via block-max WAND — one main DataFrame action plus
+    a tiny per-term dft metadata collect, zero caches. ``index``
+    supplies corpus scalars;
     ``segments`` is the compressed block table (doc_lengths ride inside
     the segments — no doc_stats join). Returns DataFrame(doc_id, score)
     with the reference tie-break (score desc, doc_id desc —
@@ -90,16 +94,25 @@ def wand_topk(
         "doc_lengths_vb",
     )
 
-    # term-level dft = Σ blocks df_block; wqt per term (tiny broadcast)
-    dft = seg.groupBy("term").agg(F.sum("df_block").alias("dft"))
-    mult = spark.createDataFrame(
-        [(t, float(m)) for t, m in terms.items()], "term string, mult double"
+    # term-level dft = Σ blocks df_block — a ≤|terms|-row metadata
+    # aggregate, collected once (the Spark analogue of the reference's
+    # SQLite vocabulary seek). Keeping wqt as a driver literal keeps the
+    # main query plan shallow: otherwise the dft subtree is recomputed
+    # inside all three consumers (block UBs, champion scores, survivor
+    # scores) within the single action.
+    import math
+
+    dft_rows = (
+        seg.groupBy("term").agg(F.sum("df_block").alias("dft")).collect()
     )
-    wq = (
-        dft.withColumn("wqt", _bm25_wqt(float(n_docs)))
-        .join(mult, "term")
-        .select("term", (F.col("wqt") * F.col("mult")).alias("wqt"))
-    )
+    wq_rows = []
+    for r in dft_rows:
+        dft = float(r["dft"])
+        wqt = max(0.1, math.log((n_docs - dft + 0.5) / (dft + 0.5)))
+        wq_rows.append((r["term"], wqt * terms[r["term"]]))
+    if not wq_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    wq = spark.createDataFrame(wq_rows, "term string, wqt double")
 
     # 1. per-block upper bounds from metadata only
     block_ub = (
