@@ -954,6 +954,51 @@ def sim_ann_topk(spark, sf_dir):
     return top.select("vec_id", _e6(F.col("cosine")).alias("cosine_e6"))
 
 
+@register(
+    "dedup_embedding",
+    """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (SELECT sum(CASE WHEN x.v > 0 THEN (1::BIGINT << (x.i - 1))
+                          ELSE 0 END)
+          FROM (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) x
+          WHERE x.i <= 8) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         a.embedding AS ea, c.embedding AS eb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+cos AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(list_zip(ea, eb),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(eb, v -> v::DOUBLE * v::DOUBLE))))
+           AS c
+  FROM pairs
+)
+SELECT id_a, id_b, floor(c * 1e6)::BIGINT AS cosine_e6
+FROM cos WHERE c >= 0.35
+""",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH bucket self-join +
+    exact in-bucket cosine (threshold 0.35 — the synthetic embeddings
+    carry no planted near-dups, so the gate exercises the operator on
+    the high-similarity tail; true near-dup detection at 0.9+ is
+    pytest-verified with planted vectors)."""
+    from .ops.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, nbits=8)
+    return pairs.select(
+        "id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6")
+    )
+
+
 @register("sim_ivf_topk")
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN (k-means coarse quantizer, pyspark.ml) — rows-only:
@@ -973,6 +1018,9 @@ def sim_ivf_topk(spark, sf_dir):
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
        len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS alnum_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT
+         AS bpe_ish_tokens,
        length(text)::BIGINT AS n_chars
 FROM documents
 """,

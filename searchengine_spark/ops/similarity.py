@@ -93,6 +93,38 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                            nbits: int = 8, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection: (id_a, id_b, cosine)
+    for pairs with cosine ≥ threshold, id_a < id_b.
+
+    Scale shape: sign-LSH bucket SELF-JOIN (same-sign signature on the
+    first ``nbits`` dims), NOT an all-pairs cross join — candidate
+    volume is Σ_buckets |bucket|², and exact cosine runs only inside
+    buckets. Caveat (standard for single-table sign-LSH): a near-dup
+    pair straddling a hyperplane on one of the nbits dims lands in
+    different buckets and is missed; production recall stacks multiple
+    hyperplane tables (OR of several nbits-bit signatures) — the same
+    union-of-joins shape, omitted here for oracle clarity."""
+    b = with_lsh_buckets(embeddings, nbits, vec_col).select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"),
+        "bucket",
+    )
+    x = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    y = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = x.join(y, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 class IvfIndex:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
     vector to its nearest centroid; queries probe only the ``n_probe``

@@ -25,14 +25,26 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "es", "fr", "zh")  # deterministic tie order
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs, residual whitespace — each match ≈ one
+# BPE pre-token, so the count upper-bounds (and closely tracks) a real
+# BPE token count without shipping a merges table. Pure regex → same
+# count in any engine.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, ws_tokens, alnum_tokens, n_chars): whitespace-run count
-    vs analyzer-token count — the two standard size measures."""
+    """(doc_id, ws_tokens, alnum_tokens, bpe_ish_tokens, n_chars):
+    whitespace-run count, analyzer-token count, and a BPE-style
+    pre-token count — the three standard size measures of a
+    training-data pipeline."""
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
         .cast("long").alias("ws_tokens"),
         F.size(token_array(F.col(text_col))).cast("long").alias("alnum_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long").alias("bpe_ish_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
     )
 

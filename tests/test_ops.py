@@ -254,3 +254,26 @@ def test_ivf_ann_recall(spark, emb):
     # probing ALL cells is exhaustive => exact
     full = {r["vec_id"] for r in ivf.search(qv, k=10, n_probe=8).collect()}
     assert full == exact
+
+def test_embedding_neardup_planted(spark):
+    """Planted near-identical vectors are found at 0.9+ cosine via the
+    bucketed join (never an all-pairs cross join)."""
+    import random
+
+    from searchengine_spark.ops.similarity import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [v + rng.gauss(0, 0.01) for v in base]  # cosine ~0.9999
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, nbits=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    for r in pairs:
+        assert r["cosine"] >= 0.9
+    # bucket pruning: pair volume far below the 59*58/2 all-pairs count
+    loose = embedding_neardup_pairs(emb, threshold=-1.0, nbits=8).count()
+    assert loose < 59 * 58 / 2 / 2
