@@ -44,3 +44,9 @@ def test_nps_subset_rank_and_boolean_identical():
     out = _run(["tools/nps_parity.py", "--n-docs", "150"])
     assert out["rank_identical"], out["rank_mismatches"]
     assert out["boolean_identical"], out["boolean_mismatches"]
+
+
+def test_mlb_author_soundex_parity():
+    out = _run(["tools/mlb_soundex_parity.py", "--n-docs", "800"])
+    assert out["containment"], out["containment_misses"]
+    assert out["spark_n_codes"] == out["ref_n_codes"]

@@ -117,3 +117,27 @@ def test_soundex_reference_semantics():
     # trailing duplicate-run drop quirk (soundexcode.py:31-35)
     assert soundex("pfister") == soundex("pfister")
     assert soundex("a") == "A000"
+
+
+def test_soundex_col_matches_python(spark):
+    """The codegen soundex column (queries/author.soundex_col) is
+    bug-for-bug with the Python transcription on fuzzed terms."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.queries.author import soundex_col
+    from searchengine_spark.text.tokenizer import soundex
+
+    rng = random.Random(11)
+    terms = list({
+        "".join(rng.choice(string.ascii_lowercase + string.digits)
+                for _ in range(rng.randint(1, 12)))
+        for _ in range(2000)
+    }) + ["harding", "hermann", "curie", "oconner", "a", "ab", "bbbb", "9cat"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select("term", soundex_col(F.col("term")).alias("sx")).collect()
+    bad = [(r["term"], r["sx"], soundex(r["term"]))
+           for r in rows if r["sx"] != soundex(r["term"])]
+    assert not bad, bad[:10]
