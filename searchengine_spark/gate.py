@@ -579,9 +579,16 @@ btop{qi} AS (
 )""")
         sels.append(f"SELECT * FROM btop{qi}")
     union = "\nUNION ALL\n".join(sels)
+    # the exported rank is recomputed over the QUANTIZED score: raw
+    # doubles can differ between engines below 1e-6 and flip the order
+    # of e6-level ties, so ranking on floor(score*1e6) is the
+    # deterministic cross-engine contract (same convention as every
+    # *_e6 value column)
     return "".join(parts) + f"""
 SELECT query_id, doc_id, floor(score * 1e6)::BIGINT AS score_e6,
-       rnk::BIGINT AS rank
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY floor(score * 1e6) DESC, doc_id DESC)
+         ::BIGINT AS rank
 FROM ({union})
 """
 
@@ -593,14 +600,22 @@ def rank_bm25_batch(spark, sf_dir):
     query-log replay operator (queries/ranked.rank_topk_batch)."""
     from .queries.ranked import rank_topk_batch
 
+    from pyspark.sql.window import Window
+
     idx = simple_index(spark, sf_dir)
     top = rank_topk_batch(idx, BATCH_RANK_QUERIES, "bm25", 10,
                           normalize=simple_query_term)
-    return top.select(
-        "query_id",
-        F.col("doc_id").cast("long").alias("doc_id"),
-        _e6(F.col("score")).alias("score_e6"),
-        F.col("rank").cast("long").alias("rank"),
+    # re-rank on the quantized score (see _rank_batch_sql note)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.desc("doc_id")
+    )
+    return (
+        top.select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _e6(F.col("score")).alias("score_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
     )
 
 
