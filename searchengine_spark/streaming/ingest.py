@@ -121,6 +121,86 @@ def compact_index(spark: SparkSession, root: str) -> SparkIndex:
     return SparkIndex(postings, doc_stats, corpus_stats, biword)
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start timestamp, last_ts timestamp, n_events long"
+)
+
+
+def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user gap-based sessionization (the streaming twin of the batch
+    ``events_sessionized`` gate query, which shares the 30-minute-gap
+    semantics).
+
+    State per user_id = the OPEN session (start, last event ts, count);
+    each micro-batch folds its (sorted) events into the state and emits
+    every session CLOSED by a gap > ``gap_minutes``. The open tail stays
+    in the state store across micro-batches — exactly the cross-batch
+    continuity a built-in window cannot express when session identity
+    must survive arbitrarily many triggers.
+
+    Scale shape: state is partitioned by user_id (the groupBy key), one
+    tiny tuple per active user, Arrow-batched in and out — the
+    applyInPandasWithState contract the north brief calls out for
+    custom stateful operators.
+
+    Late-data policy: events older than the open session's last ts fold
+    into the OPEN session (they cannot reopen an already-emitted one) —
+    the standard append-mode compromise; the watermark bounds how late
+    such events can be.
+    """
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fold(key, pdfs, state):
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            return
+        ts_sorted = rows["ts"].sort_values()
+        if state.exists:
+            s_start, last, n = state.get
+            s_start, last = pd.Timestamp(s_start), pd.Timestamp(last)
+        else:
+            s_start = last = None
+            n = 0
+        closed = []
+        for ts in ts_sorted:
+            if s_start is None:
+                s_start, last, n = ts, ts, 1
+            elif ts - last > gap:
+                closed.append((key[0], s_start, last, n))
+                s_start, last, n = ts, ts, 1
+            else:
+                last, n = max(last, ts), n + 1
+        state.update((s_start.to_pydatetime(), last.to_pydatetime(), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def ingestion_stats(pages_stream: DataFrame,
                     watermark: str = "2 minutes",
                     window: str = "1 minute") -> DataFrame:

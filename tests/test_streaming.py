@@ -119,3 +119,80 @@ def test_ingestion_stats_watermark(spark, tmp_path):
     assert row["n_docs"] > 0 and row["bytes"] > 0
     # pages arrive 37s apart → 1-minute windows hold 1-2 docs per lang
     assert (row["window_end"] - row["window_start"]).total_seconds() == 60
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream (state carried ACROSS micro-batches) must equal the
+    batch-computed closed sessions for the same events."""
+    import datetime as dt
+
+    from searchengine_spark.streaming.ingest import sessionize_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # user 1: 3 sessions (gaps of 45 and 90 min); user 2: 2 sessions.
+    events = [
+        (1, base + dt.timedelta(minutes=m))
+        for m in (0, 5, 10, 55, 60, 150)
+    ] + [
+        (2, base + dt.timedelta(minutes=m))
+        for m in (0, 20, 29, 100)
+    ]
+    rows = [(i, u, t, "click", 1.0) for i, (u, t) in enumerate(events)]
+    src = str(tmp_path / "events_stream")
+    # two files + maxFilesPerTrigger=1 => the open-session state MUST
+    # survive a micro-batch boundary for the result to come out right
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    df.filter(F.col("ts") < base + dt.timedelta(minutes=58)).coalesce(1) \
+        .write.parquet(f"{src}/a")
+    df.filter(F.col("ts") >= base + dt.timedelta(minutes=58)).coalesce(1) \
+        .write.parquet(f"{src}/b")
+    import shutil
+
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    n = 0
+    for age, sub in ((200, "a"), (100, "b")):
+        for f in sorted(os.listdir(f"{src}/{sub}")):
+            if f.endswith(".parquet"):
+                dst = f"{merged}/{sub}_{f}"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                # the file source orders micro-batches by modification
+                # time — pin it so batch 'a' (earlier events) is first
+                import time as _time
+
+                now = _time.time()
+                os.utime(dst, (now - age, now - age))
+                n += 1
+    assert n == 2
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # closed sessions only (the open tail per user stays in state):
+    expect = {
+        (1, base, base + dt.timedelta(minutes=10), 3),
+        (1, base + dt.timedelta(minutes=55), base + dt.timedelta(minutes=60), 2),
+        (2, base, base + dt.timedelta(minutes=29), 3),
+    }
+    assert got == expect
