@@ -295,6 +295,27 @@ def main() -> None:
     seg = build_segments(ridx.postings, ridx.doc_stats, block_span=512).cache()
     seg.count()
     queries["segments_build"] = time.time() - t0
+
+    # compression: VB+delta segment bytes vs the uncompressed fixed-width
+    # encoding of the same postings (8B doc_id + 4B tftd + 4B/position
+    # + 4B doc_length) — the compression claim of the north rule, measured
+    from pyspark.sql import functions as F
+
+    comp = seg.agg(
+        F.sum(
+            F.octet_length("docids_vb") + F.octet_length("tftds_vb")
+            + F.octet_length("pos_lens_vb") + F.octet_length("positions_vb")
+            + F.octet_length("doc_lengths_vb")
+        ).alias("vb_bytes")
+    ).collect()[0]
+    raw = ridx.postings.agg(
+        F.sum(F.lit(16) + F.size("positions") * F.lit(4)).alias("raw_bytes")
+    ).collect()[0]
+    extra["segment_compression"] = {
+        "vb_bytes": int(comp["vb_bytes"]),
+        "raw_bytes": int(raw["raw_bytes"]),
+        "ratio": round(raw["raw_bytes"] / comp["vb_bytes"], 2),
+    }
     wand_lat = []
     for q in BM25_QUERIES[:5]:
         t0 = time.time()

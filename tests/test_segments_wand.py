@@ -121,3 +121,32 @@ def test_wand_prunes_blocks(spark, corpus_index):
     # rare term 'dup' + head term: k=1 forces a high θ
     top = wand_topk(idx, seg, "dup", 1, champion_blocks=4).collect()
     assert len(top) == 1
+
+
+def test_block_split_bounds_head_term_groups(spark):
+    """The north-rule skew contract: a Zipf head term appearing in EVERY
+    doc must split into bounded (term, block) groups — no group larger
+    than block_span, block count = ceil(n_docs / span). This is what
+    makes 'the' at 10^12 docs ~10^8 independent bounded groups instead
+    of one straggler reducer."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.indexing.segments import build_segments
+    from searchengine_spark.indexing.simple import build_simple_index
+
+    n, span = 3000, 128
+    docs = spark.createDataFrame(
+        [(i, f"the filler{i} words{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    idx = build_simple_index(docs)
+    seg = build_segments(idx.postings, idx.doc_stats, block_span=span)
+    head = seg.filter(F.col("term") == "the")
+    stats = head.agg(
+        F.count("*").alias("n_blocks"),
+        F.max("df_block").alias("max_group"),
+        F.sum("df_block").alias("total"),
+    ).collect()[0]
+    assert stats["total"] == n
+    assert stats["max_group"] <= span
+    assert stats["n_blocks"] == (n + span - 1) // span
