@@ -858,6 +858,52 @@ def dedup_simhash(spark, sf_dir):
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    SQL_PREFIX + """
+, wordtf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tftd FROM tok GROUP BY 1, 2
+),
+wh AS (
+  SELECT doc_id, tftd,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+  FROM wordtf
+),
+bits AS (
+  SELECT doc_id, t.b, sum(tftd * (((h >> t.b) & 1) * 2 - 1)) AS s
+  FROM wh CROSS JOIN range(0, 32) t(b) GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY doc_id
+),
+bk AS (
+  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 8)) & 255 AS val
+  FROM sh CROSS JOIN range(0, 4) t(band)
+),
+sp AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM sp WHERE bit_count(xor(sa, sb)) <= 6
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash-based near-dup candidates: banded chunk join (pigeonhole
+    guarantee: Hamming ≤ bands−1 always collides on a chunk) + exact
+    bit_count filter ≤ 6 — the third dedup family (exact / MinHash /
+    SimHash) as a pair-producing operator."""
+    from .ops.dedup import simhash, simhash_candidate_pairs
+
+    sh = simhash(load_table(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs(sh, bands=4, bits=32, max_hamming=6)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         load_table(spark, sf_dir, "embeddings")

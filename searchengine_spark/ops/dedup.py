@@ -214,6 +214,54 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti")
 
 
+def simhash_candidate_pairs(fingerprints: DataFrame, bands: int = 4,
+                            bits: int = 32,
+                            max_hamming: int = 6) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-dup candidates from simhash
+    fingerprints — the standard banded scheme: split the ``bits``-bit
+    fingerprint into ``bands`` equal chunks; any pair within Hamming
+    distance ``bands − 1`` shares at least one chunk verbatim
+    (pigeonhole), so a per-chunk bucket join finds them without an
+    all-pairs comparison. Survivors are filtered to exact
+    ``bit_count(a XOR b) ≤ max_hamming`` — all codegen."""
+    width = bits // bands
+    assert bands * width == bits
+    mask = (1 << width) - 1
+    bk = fingerprints.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(f"shiftright(simhash, {i * width}) & {mask}")
+                    .alias("val"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
+    pairs = (
+        bk.alias("x")
+        .join(bk.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.val") == F.col("y.val"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): tftd-weighted sign aggregation of word-hash
     bits. Bit b of the result is 1 iff

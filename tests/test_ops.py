@@ -277,3 +277,29 @@ def test_embedding_neardup_planted(spark):
     # bucket pruning: pair volume far below the 59*58/2 all-pairs count
     loose = embedding_neardup_pairs(emb, threshold=-1.0, nbits=8).count()
     assert loose < 59 * 58 / 2 / 2
+
+def test_simhash_candidates_feed_jaccard_verify(spark, docs):
+    """SimHash banded candidates → exact Jaccard verification finds the
+    same planted near-dup pairs as the MinHash route (the third dedup
+    family, end to end)."""
+    from searchengine_spark.ops.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    cand = simhash_candidate_pairs(simhash(docs), max_hamming=6)
+    via_simhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify(docs, cand, threshold=0.5).collect()
+    }
+    via_minhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify(
+            docs, lsh_candidate_pairs(minhash_signatures(docs)), threshold=0.5
+        ).collect()
+    }
+    assert via_minhash  # planted pairs exist
+    assert via_simhash >= via_minhash  # simhash route recalls them all
