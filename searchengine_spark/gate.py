@@ -1024,13 +1024,24 @@ WITH b AS (
                           ELSE 0 END)
           FROM (SELECT unnest(embedding) AS v,
                        generate_subscripts(embedding, 1) AS i) x
-          WHERE x.i <= 8) AS bucket
+          WHERE x.i <= 8) AS b0,
+         (SELECT sum(CASE WHEN x.v > 0 THEN (1::BIGINT << (x.i - 9))
+                          ELSE 0 END)
+          FROM (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) x
+          WHERE x.i BETWEEN 9 AND 16) AS b1
   FROM embeddings
 ),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c
+    ON (a.b0 = c.b0 OR a.b1 = c.b1) AND a.vec_id < c.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-         a.embedding AS ea, c.embedding AS eb
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  SELECT cand.id_a, cand.id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
 ),
 cos AS (
   SELECT id_a, id_b,
@@ -1046,15 +1057,16 @@ FROM cos WHERE c >= 0.35
 """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-LSH bucket self-join +
-    exact in-bucket cosine (threshold 0.35 — the synthetic embeddings
-    carry no planted near-dups, so the gate exercises the operator on
-    the high-similarity tail; true near-dup detection at 0.9+ is
-    pytest-verified with planted vectors)."""
+    """Embedding-cosine near-dup pairs via TWO sign-LSH hyperplane
+    tables (disjoint 8-dim slices, OR-ed) + exact cosine on the deduped
+    candidates — multi-table recall: a pair is missed only if sign-split
+    in BOTH tables. Threshold 0.35: the synthetic embeddings carry no
+    planted near-dups, so the gate exercises the high-similarity tail;
+    true 0.9+ detection is pytest-verified with planted vectors."""
     from .ops.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(emb, threshold=0.35, nbits=8)
+    pairs = embedding_neardup_pairs(emb, threshold=0.35, nbits=8, n_tables=2)
     return pairs.select(
         "id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6")
     )

@@ -58,11 +58,13 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return sims.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def sign_lsh_bucket(vec_col, nbits: int = 16) -> F.Column:
-    """Sign-bit LSH bucket id: Σ_{i<nbits} (v_i > 0) << i."""
+def sign_lsh_bucket(vec_col, nbits: int = 16, offset: int = 0) -> F.Column:
+    """Sign-bit LSH bucket id over dims [offset, offset+nbits):
+    Σ_{i<nbits} (v_{offset+i} > 0) << i. ``offset`` selects an
+    independent hyperplane table (disjoint dim slice)."""
     return F.aggregate(
         F.zip_with(
-            F.slice(vec_col, 1, nbits),
+            F.slice(vec_col, offset + 1, nbits),
             F.sequence(F.lit(0), F.lit(nbits - 1)),
             # 2^i via pow — exact in float64 for i < 53; avoids
             # shiftleft's int-literal-only python signature
@@ -94,28 +96,43 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
-                            nbits: int = 8, id_col: str = "vec_id",
+                            nbits: int = 8, n_tables: int = 1,
+                            id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate detection: (id_a, id_b, cosine)
     for pairs with cosine ≥ threshold, id_a < id_b.
 
-    Scale shape: sign-LSH bucket SELF-JOIN (same-sign signature on the
-    first ``nbits`` dims), NOT an all-pairs cross join — candidate
-    volume is Σ_buckets |bucket|², and exact cosine runs only inside
-    buckets. Caveat (standard for single-table sign-LSH): a near-dup
-    pair straddling a hyperplane on one of the nbits dims lands in
-    different buckets and is missed; production recall stacks multiple
-    hyperplane tables (OR of several nbits-bit signatures) — the same
-    union-of-joins shape, omitted here for oracle clarity."""
-    b = with_lsh_buckets(embeddings, nbits, vec_col).select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"),
-        "bucket",
+    Scale shape: sign-LSH bucket SELF-JOIN, NOT an all-pairs cross
+    join — candidate volume is Σ_buckets |bucket|², and exact cosine
+    runs only inside buckets. ``n_tables`` independent hyperplane
+    tables (disjoint nbits-dim slices of the embedding) are OR-ed: a
+    near-dup pair straddling a sign boundary in one table is still
+    caught by another — a pair is missed only if split in EVERY table
+    (miss probability decays geometrically in n_tables). Candidates
+    dedupe before the exact cosine pass."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     )
-    x = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    y = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = x.join(y, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cand = None
+    for t in range(n_tables):
+        b = base.withColumn(
+            "bucket", sign_lsh_bucket(F.col("v"), nbits, offset=t * nbits)
+        )
+        x = b.select(F.col("id").alias("id_a"), "bucket")
+        y = b.select(F.col("id").alias("id_b"), "bucket")
+        p = (
+            x.join(y, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
     return (
-        pairs.withColumn(
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("v").alias("vb")), "id_b")
+        .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb"))
             / (_norm(F.col("va")) * _norm(F.col("vb"))),

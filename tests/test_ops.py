@@ -303,3 +303,30 @@ def test_simhash_candidates_feed_jaccard_verify(spark, docs):
     }
     assert via_minhash  # planted pairs exist
     assert via_simhash >= via_minhash  # simhash route recalls them all
+
+def test_embedding_neardup_multitable_recall(spark):
+    """A near-dup pair that straddles a sign boundary in table 0 (dim 0
+    flips sign) is missed by one table and recovered by the second
+    (dims 8-15 agree) — the multi-table recall property."""
+    import random
+
+    from searchengine_spark.ops.similarity import embedding_neardup_pairs
+
+    rng = random.Random(5)
+    base = [0.001] + [rng.gauss(0, 1) for _ in range(15)]
+    near = list(base)
+    near[0] = -0.001  # sign flip on dim 0 only: cosine still ~1
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.9, nbits=8, n_tables=1).collect()
+    }
+    two = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, 0.9, nbits=8, n_tables=2).collect()
+    }
+    assert (0, 1) not in one   # split in the only table
+    assert (0, 1) in two       # second table recovers it
