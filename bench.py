@@ -98,23 +98,30 @@ def run_scaling(queries: dict, extra: dict) -> None:
     from pyspark.sql import types as T
 
     warm_udf = F.pandas_udf(lambda x: x, T.LongType())
-    thr, core_stage = {}, {}
-    for cores in (SCALE_CORES_N, SCALE_CORES_4N):
-        s = get_spark(f"bench-scale-{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
-        # spawn+warm every python worker, then run a miniature
-        # pipeline so JVM JIT + heap growth happen before the timed
-        # run (steady-state measurement — a long-lived 100TB job
-        # amortizes this warmup away entirely)
-        s.range(0, 100_000, 1, numPartitions=cores * 4).select(
-            F.sum(warm_udf(F.col("id")))).collect()
-        wr = f"{root}_warm/idx_{cores}"
-        shutil.rmtree(wr, ignore_errors=True)
-        run_index_pipeline(s, wr, s.read.parquet(f"{root}_warm/docs/data"),
-                           "warmup")
-        docs = s.read.parquet(f"{root}/docs/data")
-        best, best_core = None, None
-        for trial in range(SCALE_TRIALS):
+    best: dict = {}
+    best_core: dict = {}
+    # INTERLEAVE the two sizes across trial rounds (2,8,2,8,...): the
+    # shared VM's noise comes in multi-minute bursts, so running one
+    # size's trials back-to-back lets a single burst poison ALL of that
+    # size's measurements (observed: three consecutive local[8] trials
+    # all ~18% slow while local[2] ran clean → a bogus 0.77). With
+    # interleaving each size gets SCALE_TRIALS independently-timed
+    # windows and best-of picks the quiet ones.
+    for trial in range(SCALE_TRIALS):
+        for cores in (SCALE_CORES_N, SCALE_CORES_4N):
+            s = get_spark(f"bench-scale-{cores}-t{trial}", cores=cores,
+                          shuffle_partitions=cores * 2)
+            # spawn+warm every python worker, then run a miniature
+            # pipeline so JVM JIT + heap growth happen before the timed
+            # run (steady-state measurement — a long-lived 100TB job
+            # amortizes this warmup away entirely)
+            s.range(0, 100_000, 1, numPartitions=cores * 4).select(
+                F.sum(warm_udf(F.col("id")))).collect()
+            wr = f"{root}_warm/idx_{cores}"
+            shutil.rmtree(wr, ignore_errors=True)
+            run_index_pipeline(s, wr, s.read.parquet(f"{root}_warm/docs/data"),
+                               "warmup")
+            docs = s.read.parquet(f"{root}/docs/data")
             idx_root = f"{root}/idx_c{cores}_t{trial}"
             shutil.rmtree(idx_root, ignore_errors=True)
             t0 = time.time()
@@ -124,12 +131,14 @@ def run_scaling(queries: dict, extra: dict) -> None:
                 read_manifest(idx_root, st)["wall_s"]
                 for st in ("analyzed", "postings")
             )
-            if best is None or wall < best:
-                best, best_core = wall, core
-        thr[cores] = SCALING_N / best
-        core_stage[cores] = SCALING_N / best_core
-        queries[f"index_pipeline_local{cores}"] = best
-        s.stop()
+            if cores not in best or wall < best[cores]:
+                best[cores] = wall
+                best_core[cores] = core
+            s.stop()
+    thr = {c: SCALING_N / w for c, w in best.items()}
+    core_stage = {c: SCALING_N / w for c, w in best_core.items()}
+    for cores in (SCALE_CORES_N, SCALE_CORES_4N):
+        queries[f"index_pipeline_local{cores}"] = best[cores]
     n, n4 = SCALE_CORES_N, SCALE_CORES_4N
     extra["scaling"] = {
         "n_docs": SCALING_N,
