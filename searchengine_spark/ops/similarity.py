@@ -18,6 +18,8 @@ Scale notes
 
 from __future__ import annotations
 
+from math import floor as math_floor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -142,6 +144,35 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
+FIXED_POINT_SCALE = 1 << 20  # 2^20: float32 * 2^20 is an exact double
+
+
+def _scaled_ints(vec_col) -> F.Column:
+    """Fixed-point view of an embedding: floor(v * 2^20) per dimension.
+
+    Multiplying a float32 value by a power of two is EXACT in float64
+    (pure exponent shift), and floor of an exact value is engine-
+    independent — so the scaled vector is the same list of int64s in
+    Spark and in any SQL oracle, with no rounding-mode ambiguity."""
+    return F.transform(
+        vec_col,
+        lambda v: F.floor(v.cast("double") * F.lit(float(FIXED_POINT_SCALE))).cast("long"),
+    )
+
+
+def _int_dist(x_col, centroid: list[int]) -> F.Column:
+    """Integer squared-L2 distance between a scaled vector column and a
+    literal scaled centroid. All-integer arithmetic: the sum is exact,
+    therefore independent of accumulation order — bitwise identical
+    across engines and partitionings."""
+    carr = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(x_col, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 class IvfIndex:
     """IVF (inverted-file) ANN: a k-means coarse quantizer assigns each
     vector to its nearest centroid; queries probe only the ``n_probe``
@@ -172,6 +203,98 @@ class IvfIndex:
         assigned = model.transform(ml_df).drop("_feat")
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
         return IvfIndex(assigned, centroids, id_col, vec_col)
+
+    @staticmethod
+    def fit_fixedpoint(embeddings: DataFrame, n_centroids: int = 8,
+                       n_iter: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "IvfIndex":
+        """Deterministic Lloyd k-means in FIXED-POINT integer arithmetic
+        — the oracle-replayable quantizer used by the correctness gate.
+
+        Every operation is exact int64 math (see ``_scaled_ints`` /
+        ``_int_dist``), so the fitted cells are bit-identical no matter
+        the partitioning, accumulation order, or engine — a SQL oracle
+        can replay fit + probe + search and hash-match. Protocol:
+
+        * scaled vectors  x = floor(v * 2^20) per dimension;
+        * seeds           the k rows at id-ranks 1 + m*floor(n/k)
+                          (ids ascending), m = 0..k-1;
+        * assignment      argmin integer squared-L2, ties to the
+                          smallest centroid id;
+        * update          per-dim floor(sum / count) (empty cell keeps
+                          its previous centroid), ``n_iter`` rounds.
+
+        The seed-rank scan totals a global sort of ids; at warehouse
+        scale you fit on a bounded deterministic sample (e.g. ids
+        below a threshold) and only ASSIGNMENT runs over the full
+        table — same shape as pyspark.ml's ``fit`` vs ``transform``.
+        ``IvfIndex.fit`` (pyspark.ml KMeans) remains the
+        production-quality quantizer; this variant trades centroid
+        quality for cross-engine exactness, which is what a
+        correctness gate needs.
+        """
+        base = embeddings.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            _scaled_ints(F.col(vec_col)).alias("_xs"),
+        ).cache()
+        ids = [r[0] for r in base.select(id_col).orderBy(id_col).collect()]
+        n, k = len(ids), n_centroids
+        step = max(1, n // k)
+        seed_ids = [ids[m * step] for m in range(k) if m * step < n]
+        seed_rows = {
+            r[0]: [int(v) for v in r[1]]
+            for r in base.filter(F.col(id_col).isin(seed_ids))
+            .select(id_col, "_xs").collect()
+        }
+        cents: list[list[int]] = [seed_rows[i] for i in seed_ids]
+        dim = len(cents[0])
+
+        def assign(df: DataFrame) -> DataFrame:
+            darr = F.array(*[_int_dist(F.col("_xs"), c) for c in cents])
+            return df.withColumn(
+                "centroid_id",
+                (F.array_position(darr, F.array_min(darr)) - 1).cast("int"),
+            )
+
+        for _ in range(n_iter):
+            assigned = assign(base)
+            sums = assigned.groupBy("centroid_id").agg(
+                F.count("*").alias("_cnt"),
+                *[
+                    F.sum(F.element_at("_xs", d + 1)).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+            ).collect()
+            new_cents = list(cents)
+            for row in sums:
+                cid, cnt = int(row["centroid_id"]), int(row["_cnt"])
+                new_cents[cid] = [
+                    int(math_floor(row[f"_s{d}"] / cnt)) for d in range(dim)
+                ]
+            cents = new_cents
+
+        assigned = assign(base).drop("_xs")
+        return IvfIndex(assigned, cents, id_col, vec_col)
+
+    def _probe_cells_fixedpoint(self, query_vec: list[float],
+                                n_probe: int) -> list[int]:
+        """Probe order under the fixed-point metric (integer centroids
+        from ``fit_fixedpoint``)."""
+        q = [int(math_floor(float(v) * FIXED_POINT_SCALE)) for v in query_vec]
+
+        def dist(c):
+            return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+        order = sorted(range(len(self.centroids)),
+                       key=lambda i: (dist(self.centroids[i]), i))
+        return order[:max(1, min(n_probe, len(order)))]
+
+    def search_fixedpoint(self, query_vec: list[float], k: int = 10,
+                          n_probe: int = 4) -> DataFrame:
+        cells = self._probe_cells_fixedpoint(query_vec, n_probe)
+        cand = self.assigned.filter(F.col("centroid_id").isin(cells))
+        return brute_force_topk(cand, query_vec, k, self.id_col, self.vec_col)
 
     def _probe_cells(self, query_vec: list[float], n_probe: int) -> list[int]:
         import math

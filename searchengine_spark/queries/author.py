@@ -35,8 +35,15 @@ def soundex_col(term) -> F.Column:
     (bug-for-bug twin of text.tokenizer.soundex — pytest fuzz-verified):
     digits over term[1:], per-digit adjacent-run collapse, trailing-run
     drop tested on the RAW digit string, zero removal, pad to 4."""
-    d = F.translate(F.substring(term, 2, 1_000_000),
-                    _SOUNDEX_ALPHABET, _SOUNDEX_MAP)
+    # Any character outside the translate alphabet (underscore — kept
+    # by basic_process — or a non-ASCII letter) maps to '0' exactly
+    # like the Python twin's _SOUNDEX_CODES.get(ch, "0"), so index-side
+    # and query-side codes agree for such names.
+    d = F.regexp_replace(
+        F.translate(F.substring(term, 2, 1_000_000),
+                    _SOUNDEX_ALPHABET, _SOUNDEX_MAP),
+        "[^0-6]", "0",
+    )
     c = d
     for dig in "0123456":
         c = F.regexp_replace(c, dig + "{2,}", dig)
@@ -67,7 +74,10 @@ def author_name_tokens(docs: DataFrame,
         )
         .select(
             "doc_id",
-            F.lower(F.regexp_replace("tok", r"\W+", "")).alias("name"),
+            # (?U) = Java UNICODE_CHARACTER_CLASS so \W matches what
+            # Python's Unicode-aware re.sub(r'\W') matches — accented
+            # author letters survive exactly as in the reference.
+            F.lower(F.regexp_replace("tok", r"(?U)\W+", "")).alias("name"),
         )
         .filter(F.col("name") != "")
     )

@@ -131,11 +131,16 @@ def test_soundex_col_matches_python(spark):
     from searchengine_spark.text.tokenizer import soundex
 
     rng = random.Random(11)
+    # alphabet includes '_' (kept by basic_process) and non-ASCII
+    # letters (Unicode \w) — both must code identically on the index
+    # (codegen) and query (Python) sides.
+    alphabet = string.ascii_lowercase + string.digits + "_éüñßø"
     terms = list({
-        "".join(rng.choice(string.ascii_lowercase + string.digits)
+        "".join(rng.choice(alphabet)
                 for _ in range(rng.randint(1, 12)))
         for _ in range(2000)
-    }) + ["harding", "hermann", "curie", "oconner", "a", "ab", "bbbb", "9cat"]
+    }) + ["harding", "hermann", "curie", "oconner", "a", "ab", "bbbb",
+          "9cat", "a_b", "_x_", "müller", "françois"]
     df = spark.createDataFrame([(t,) for t in terms], "term string")
     rows = df.select("term", soundex_col(F.col("term")).alias("sx")).collect()
     bad = [(r["term"], r["sx"], soundex(r["term"]))
