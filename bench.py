@@ -98,8 +98,8 @@ def run_scaling(queries: dict, extra: dict) -> None:
     from pyspark.sql import types as T
 
     warm_udf = F.pandas_udf(lambda x: x, T.LongType())
-    best: dict = {}
-    best_core: dict = {}
+    trials_wall: dict[int, list[float]] = {}
+    trials_core: dict[int, list[float]] = {}
     # INTERLEAVE the two sizes across trial rounds (2,8,2,8,...): the
     # shared VM's noise comes in multi-minute bursts, so running one
     # size's trials back-to-back lets a single burst poison ALL of that
@@ -131,10 +131,11 @@ def run_scaling(queries: dict, extra: dict) -> None:
                 read_manifest(idx_root, st)["wall_s"]
                 for st in ("analyzed", "postings")
             )
-            if cores not in best or wall < best[cores]:
-                best[cores] = wall
-                best_core[cores] = core
+            trials_wall.setdefault(cores, []).append(wall)
+            trials_core.setdefault(cores, []).append(core)
             s.stop()
+    best = {c: min(ws) for c, ws in trials_wall.items()}
+    best_core = {c: min(ws) for c, ws in trials_core.items()}
     thr = {c: SCALING_N / w for c, w in best.items()}
     core_stage = {c: SCALING_N / w for c, w in best_core.items()}
     for cores in (SCALE_CORES_N, SCALE_CORES_4N):
@@ -145,11 +146,72 @@ def run_scaling(queries: dict, extra: dict) -> None:
         "cores_n": n,
         "cores_4n": n4,
         "trials": SCALE_TRIALS,
+        # best-of-N over interleaved trials IS the headline statistic
+        # (see the docstring); every per-trial wall is recorded here so
+        # the selection is auditable from the artifact alone.
+        "selection": f"best_of_{SCALE_TRIALS}_interleaved",
+        "trials_wall_s": {
+            f"local{c}": [round(w, 1) for w in ws]
+            for c, ws in trials_wall.items()
+        },
+        "trials_core_s": {
+            f"local{c}": [round(w, 1) for w in ws]
+            for c, ws in trials_core.items()
+        },
         f"docs_per_sec_local{n}": round(thr[n], 1),
         f"docs_per_sec_local{n4}": round(thr[n4], 1),
         "efficiency_pipeline": round(thr[n4] / (4 * thr[n]), 3),
         "efficiency_core_stages": round(core_stage[n4] / (4 * core_stage[n]), 3),
     }
+
+
+def run_dedup_e2e(queries: dict, extra: dict) -> None:
+    """MinHash → banded-LSH → exact-Jaccard dedup END TO END on the
+    same 800k-doc staged pages corpus the scaling bench indexes —
+    evidence that the banding bounds (bucket_cap, r-tuple keys) hold at
+    10× gate scale: candidate volume and pairs/sec are recorded, so a
+    candidate explosion (the way LSH dies at web scale) would be
+    visible in the artifact, not just asserted."""
+    import os.path
+
+    from searchengine_spark.ops.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from searchengine_spark.session import get_spark
+
+    root = "/tmp/bench_pipeline"
+    s = get_spark("bench-dedup", cores=CPUS)
+    path = f"{root}/docs/data"
+    if not os.path.exists(path):  # SCALING=0 runs stage their own copy
+        from searchengine_spark.pipeline.index_pipeline import stage_docs
+
+        stage_docs(s, root, SCALING_N, partitions=256)
+    docs = s.read.parquet(path).select("doc_id", "text")
+    n_docs = docs.count()
+
+    t0 = time.time()
+    sigs = minhash_signatures(docs).cache()
+    n_sigs = sigs.count()
+    cand = lsh_candidate_pairs(sigs, bucket_cap=10_000).cache()
+    n_cand = cand.count()
+    n_dup = jaccard_verify(docs, cand, threshold=0.5).count()
+    wall = time.time() - t0
+
+    queries[f"dedup_e2e_{n_docs // 1000}k"] = wall
+    extra["dedup_e2e"] = {
+        "n_docs": n_docs,
+        "n_signatures": n_sigs,
+        "n_candidate_pairs": n_cand,
+        "n_duplicate_pairs": n_dup,
+        "candidates_per_doc": round(n_cand / max(n_docs, 1), 4),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "bucket_cap": 10_000,
+    }
+    sigs.unpersist()
+    cand.unpersist()
+    s.stop()
 
 
 def run_wand_crossover(spark, queries: dict, extra: dict) -> None:
@@ -351,12 +413,37 @@ def main() -> None:
     run_wand_crossover(spark, queries, extra)
 
     # --- gate headliners (engine paths the driver grades) ---
-    for name in ("rank_bm25", "bool_and", "phrase_2"):
+    # The FIRST gate query pays a one-time cost: gate.simple_index
+    # builds + caches its own index for this (session, sf_dir). r02
+    # recorded that cold cost inside rank_bm25 (3.69s vs 3.09s in r01
+    # — the round's one "regression" was cold-build noise, invisible
+    # because only a single timing was kept). Now: cold recorded
+    # separately, headline value = median of 3 warm trials.
+    cold: dict[str, float] = {}
+    warm: dict[str, list[float]] = {n: [] for n in
+                                    ("rank_bm25", "bool_and", "phrase_2")}
+    for name in warm:
         t0 = time.time()
         gate.QUERIES[name](spark, SF_DIR).collect()
-        queries[name] = time.time() - t0
+        cold[name] = time.time() - t0
+    for _ in range(3):
+        for name in warm:
+            t0 = time.time()
+            gate.QUERIES[name](spark, SF_DIR).collect()
+            warm[name].append(time.time() - t0)
+    for name, ts in warm.items():
+        queries[name] = statistics.median(ts)
+    extra["gate_headliners"] = {
+        name: {"cold_s": round(cold[name], 3),
+               "warm_trials_s": [round(t, 3) for t in ts]}
+        for name, ts in warm.items()
+    }
 
     spark.stop()
+
+    # --- dedup at scaling-corpus size (after the main session stops:
+    # never overlap Spark work with a timed section) ---
+    run_dedup_e2e(queries, extra)
 
     out = {
         "metric": "index-build docs/sec + BM25 top-k p50 latency",

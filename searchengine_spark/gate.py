@@ -118,11 +118,11 @@ def _ensure_shipped(spark: SparkSession) -> None:
         from .session import _ship_package
 
         _ship_package(spark)
-        # The driver's own session may not be UTC-pinned; event-time
-        # queries (events_windowed) convert NTZ timestamps via
-        # unix_micros(cast('timestamp')), which must agree with the
-        # DuckDB oracle's UTC epoch math regardless of driver locale.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # No session-conf mutation here: event-time gate queries use
+        # NTZ wall-clock arithmetic (interval subtraction against an
+        # NTZ epoch literal), which agrees with the DuckDB oracle in
+        # EVERY session timezone — running a gate query must not
+        # change timestamp semantics for the caller's other work.
         _SHIPPED.add(key)
 
 
@@ -1193,8 +1193,8 @@ def text_quality(spark, sf_dir):
     "text_fingerprint",
     SQL_PREFIX + """
 SELECT doc_id,
-       sum((('0x' || substr(md5(term), 1, 15))::BIGINT % 1000000007)
-           * (((pos - 1) % 997) + 1))::BIGINT AS fingerprint
+       sum(((('0x' || substr(md5(term), 1, 15))::BIGINT % 1000000007)
+            * (((pos - 1) % 997) + 1)) % 1000000007)::BIGINT AS fingerprint
 FROM tok GROUP BY doc_id
 """,
 )
@@ -1233,9 +1233,12 @@ def events_windowed(spark, sf_dir):
         )
         .select(
             # epoch seconds keep the gate all-bigint/string (timestamp
-            # serialization differs across engines/hashers)
-            (F.unix_micros(F.col("w.start").cast("timestamp")) / 1_000_000)
-            .cast("long").alias("window_start_s"),
+            # serialization differs across engines/hashers). NTZ minus
+            # NTZ-epoch-literal is pure wall-clock arithmetic — the
+            # same in every session timezone, so the gate no longer
+            # needs to pin the caller's session to UTC.
+            (F.col("w.start") - F.lit("1970-01-01 00:00:00")
+             .cast("timestamp_ntz")).cast("long").alias("window_start_s"),
             "event_type", "n_events", "n_users", "sum_value_cents",
         )
     )
@@ -1278,14 +1281,13 @@ def events_sessionized(spark, sf_dir):
         "new_session",
         F.when(
             F.col("prev_ts").isNull()
-            # exact microsecond arithmetic (cast-to-long truncates to
-            # seconds and would disagree with DuckDB's exact interval
-            # comparison on gaps within 1s of the threshold; NTZ→TZ
-            # cast is UTC-pinned by session config)
+            # NTZ − NTZ interval comparison: exact to the microsecond
+            # (a cast-to-long would truncate to seconds and disagree
+            # with DuckDB on gaps within 1s of the threshold) and
+            # independent of the session timezone.
             | (
-                F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
-                > 1_800_000_000
+                F.col("ts") - F.col("prev_ts")
+                > F.expr("INTERVAL '30' MINUTE")
             ),
             1,
         ).otherwise(0),
@@ -1586,15 +1588,15 @@ SELECT '__map__' AS query, floor((SELECT avg(ap) FROM allaps) * 1e6)::BIGINT
 @register("eval_map", _eval_map_sql())
 def eval_map(spark, sf_dir):
     """MAP/latency harness (main_precision_recall_all_queries.py port)
-    over boolean-AND relevance oracles; one row per query + MAP row."""
-    from .eval.metrics import evaluate_ranking, synthetic_qrels
-    from .queries.ranked import rank_topk
+    over boolean-AND relevance oracles; one row per query + MAP row.
+    Routed through rank_topk_batch: every query ranks in ONE job."""
+    from .eval.metrics import evaluate_ranking_batch, synthetic_qrels
 
     idx = simple_index(spark, sf_dir)
     qrels = synthetic_qrels(idx, EVAL_QUERIES, normalize=simple_query_term)
-    res = evaluate_ranking(
-        lambda q: rank_topk(idx, q, "bm25", 50, normalize=simple_query_term),
-        EVAL_QUERIES, qrels, k=50,
+    res = evaluate_ranking_batch(
+        idx, EVAL_QUERIES, "bm25", qrels, k=50,
+        normalize=simple_query_term,
     )
     rows = [(q, int(res["ap_per_query"][q] * E6)) for q in EVAL_QUERIES]
     rows.append(("__map__", int(res["map"] * E6)))

@@ -168,9 +168,15 @@ def _decode_batch(docids_vb: pd.Series, tftds_vb: pd.Series,
         rows["doc_ids"].append([int(x) for x in dids])
         rows["tftds"].append([int(x) for x in vb_decode(bytes(tvb))])
         if dlvb is None or len(dlvb) == 0:
-            rows["doc_lengths"].append([0 for _ in dids])
-        else:
-            rows["doc_lengths"].append([int(x) for x in vb_decode(bytes(dlvb))])
+            # Fail loudly rather than zero-fill: a doc_length of 0
+            # would silently inflate BM25 wdt for every posting in the
+            # segment. Only segments written by a pre-doc_lengths
+            # format could hit this — they must be rebuilt.
+            raise ValueError(
+                "segment is missing doc_lengths_vb (written by an old "
+                "format?) — rebuild segments with build_segments()"
+            )
+        rows["doc_lengths"].append([int(x) for x in vb_decode(bytes(dlvb))])
         if pvb is None or len(pvb) == 0:
             rows["positions"].append([[] for _ in dids])
             continue

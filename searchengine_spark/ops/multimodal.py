@@ -1,11 +1,12 @@
 """Multimodal (image/audio/video) columns as opaque ``binary`` payloads
 with typed metadata — the Spark-side plumbing (schema, partitioning,
 Arrow batch shape, UDF signatures) is real and tested, and the resize
-kernel is a real pure-numpy bilinear resample. Only the EXTERNAL codec
-entry point (``decode_real_image``; PIL/ffmpeg-class libraries are not
-in this container) is stubbed behind an import guard, with a
-deterministic synthetic raster format standing in so the pipeline is
-end-to-end verifiable.
+kernel is a real pure-numpy bilinear resample. The EXTERNAL codec
+entry point (``decode_real_image``) is an OPTIONAL dependency: a
+working PIL grayscale decode when pillow is installed, absent (None)
+otherwise — so in this container (no PIL/ffmpeg-class libraries) the
+deterministic synthetic raster format stands in and the optional path
+is unreachable unless a non-synthetic payload is fed in.
 
 Synthetic payload format (deterministic per (seed, media_id)):
 ``IMG1`` magic + width·height unsigned bytes row-major (grayscale), so
@@ -96,18 +97,34 @@ def _decode_raster(payload: bytes, width: int, height: int) -> np.ndarray:
     return arr.reshape(height, width)
 
 
-def decode_real_image(payload: bytes) -> "np.ndarray":
-    """Real-codec path — STUB: PIL is not available in this container.
-    The call site (extract_features) only touches it for payloads that
-    are not the synthetic format."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "image codec unavailable in this environment; synthetic IMG1 "
-            "payloads exercise the full Spark plumbing instead"
-        ) from exc
-    raise NotImplementedError("real decode wiring pending codec availability")
+# Real-codec path — OPTIONAL dependency: when PIL is importable the
+# decoder below is a working grayscale decode; when it isn't (this
+# container), ``decode_real_image`` is None and only a non-synthetic
+# payload can reach the clear ImportError in ``_decode_payload`` —
+# the synthetic-IMG1 pipeline never touches the optional path.
+try:  # pragma: no cover - PIL absent in the build container
+    from PIL import Image as _PILImage
+
+    def decode_real_image(payload: bytes) -> "np.ndarray":
+        """Decode a real image payload to a grayscale uint8 raster."""
+        import io
+
+        return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("L"))
+except ImportError:
+    decode_real_image = None
+
+
+def _decode_payload(payload: bytes, meta) -> "np.ndarray":
+    """Dispatch: synthetic IMG1 rasters decode inline; anything else
+    goes to the optional real codec."""
+    if bytes(payload[:4]) == MAGIC:
+        return _decode_raster(payload, meta["width"], meta["height"])
+    if decode_real_image is None:
+        raise ImportError(
+            "payload is not synthetic IMG1 and no image codec is "
+            "installed (pip install pillow to enable real decode)"
+        )
+    return decode_real_image(bytes(payload))
 
 
 FEATURE_DIM = 8
@@ -129,7 +146,7 @@ def extract_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                arr = _decode_raster(payload, meta["width"], meta["height"]).astype(np.float64)
+                arr = _decode_payload(payload, meta).astype(np.float64)
                 hist, _ = np.histogram(arr, bins=6, range=(0, 256))
                 v = [float(arr.mean()), float(arr.std())] + (
                     hist / arr.size

@@ -115,8 +115,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  modulus: int = 1_000_000_007) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling document hash —
-    Σ_i (h60(tok_i) mod M) · ((i mod 997) + 1), folded in int64 (no
-    overflow for docs ≤ ~9·10^3 tokens; mod-reduce per step otherwise).
+    Σ_i ((h60(tok_i) mod M) · ((i mod 997) + 1) mod M), folded in
+    int64. The per-step mod-reduce bounds each addend below M ≈ 1e9,
+    so the running sum stays within int64 for any document below
+    ~9·10^9 tokens — unconditional at any realistic document size.
     Engine-portable: identical in ANSI SQL."""
     ts = token_array(F.col(text_col))
     tok = docs.select(
@@ -125,6 +127,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     )
     return tok.groupBy("doc_id").agg(
         F.sum(
-            (h60(F.col("term")) % modulus) * ((F.col("pos0") % 997) + 1)
+            ((h60(F.col("term")) % modulus) * ((F.col("pos0") % 997) + 1))
+            % modulus
         ).cast("long").alias("fingerprint")
     )

@@ -130,6 +130,13 @@ def wand_topk(
     # keep the UB-desc prefix whose cumulative doc count first reaches k
     # (window over ≤C rows — single tiny partition by construction)
     topc = block_ub.orderBy(F.desc("ub")).limit(max(champion_blocks, 1))
+    # Global (partition-less) window — DELIBERATE, not a scale bug:
+    # its input is the limit(C) above, so it sees at most
+    # ``champion_blocks`` rows (single digits) regardless of corpus
+    # size. Spark still logs a WindowExec single-partition warning
+    # because the bound isn't visible to the planner; a literal
+    # partition key would silence it but obscure that the prefix scan
+    # is ordered across ALL champion blocks by construction.
     w = Window.orderBy(F.desc("ub"), F.asc("block")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -69,6 +69,13 @@ def test_map_parity_bm25(spark, sidx, oidx):
     assert spark_res["map"] == pytest.approx(oracle_map, abs=1e-12)
     assert spark_res["throughput_qps"] > 0
 
+    # the one-job batch harness must produce the identical MAP + APs
+    from searchengine_spark.eval.metrics import evaluate_ranking_batch
+
+    batch_res = evaluate_ranking_batch(sidx, QUERIES, "bm25", qrels, k=K)
+    assert batch_res["ap_per_query"] == spark_res["ap_per_query"]
+    assert batch_res["map"] == pytest.approx(spark_res["map"], abs=1e-15)
+
 
 @pytest.mark.parametrize("strategy", ["default", "tfidf", "wacky"])
 def test_rank_identity_all_strategies_pages(spark, sidx, oidx, strategy):

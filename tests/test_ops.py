@@ -117,6 +117,20 @@ def test_fingerprint_order_sensitive(spark):
     assert fps[0] != fps[1]
 
 
+def test_fingerprint_long_doc_no_overflow(spark):
+    """The per-step mod-reduce keeps the int64 sum bounded even for a
+    pathological multi-hundred-thousand-token document: the result must
+    stay non-negative (an overflow would wrap negative) and below
+    n_tokens * modulus."""
+    from searchengine_spark.ops.textstats import fingerprints
+
+    n_tokens = 200_000
+    text = " ".join(f"tok{i % 1000}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    fp = fingerprints(df).collect()[0]["fingerprint"]
+    assert 0 <= fp < n_tokens * 1_000_000_007
+
+
 def test_classifiers_majority_class_sanity(spark, docs):
     from searchengine_spark.ops.classify import knn_classify, nb_classify, rocchio_classify
 
