@@ -535,6 +535,74 @@ WHERE a.term = 'table' AND b.term = 'zzznotaword'
 )
 
 
+CHAMPION_R = 32
+
+_CHAMP_VALS = ", ".join(f"'{t}'" for t in RANK_TERMS)
+ORACLE_SQL_CHAMPIONS = (
+    SQL_PREFIX
+    + SQL_STATS_CTES
+    + f"""
+, qterms AS (SELECT unnest([{_CHAMP_VALS}]) AS term),
+champ AS (
+  -- impact ordering (bm25 wdt; normalizer = 1), e6-quantized with
+  -- tftd/doc_id tie-breaks — mirrors queries/ranked.champion_lists
+  SELECT term, doc_id, tftd FROM (
+    SELECT p.term, p.doc_id, p.tftd,
+           row_number() OVER (
+             PARTITION BY p.term
+             ORDER BY floor((2.2 * p.tftd)
+                      / (1.2 * (0.25 + 0.75 * l.doc_length / s.avg_dl)
+                         + p.tftd) * 1e6) DESC,
+                      p.tftd DESC, p.doc_id DESC) AS rr
+    FROM postings p JOIN qterms q USING (term)
+    JOIN dl l USING (doc_id) CROSS JOIN cstats s
+  ) WHERE rr <= {CHAMPION_R}
+),
+cdft AS (
+  SELECT p.term, count(*)::DOUBLE AS dft
+  FROM postings p JOIN qterms q USING (term) GROUP BY p.term
+),
+cwq AS (
+  SELECT d.term,
+         greatest(0.1, ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5))) AS wqt
+  FROM cdft d CROSS JOIN cstats s
+),
+cand AS (SELECT DISTINCT doc_id FROM champ),
+csc AS (
+  -- candidates from champions; scoring over FULL matched postings
+  SELECT p.doc_id,
+         sum(w.wqt * (2.2 * p.tftd)
+             / (1.2 * (0.25 + 0.75 * l.doc_length / s.avg_dl) + p.tftd))
+           AS score
+  FROM postings p JOIN qterms q USING (term) JOIN cand USING (doc_id)
+  JOIN cwq w ON p.term = w.term JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN cstats s GROUP BY p.doc_id
+)
+SELECT doc_id, floor(score * 1e6)::BIGINT AS score_e6
+FROM csc ORDER BY score DESC, doc_id DESC LIMIT 10
+"""
+)
+
+
+@register("rank_bm25_champions", ORACLE_SQL_CHAMPIONS)
+def rank_bm25_champions(spark, sf_dir):
+    """Champion-list approximate BM25 top-10 (Manning IIR §7.1.3):
+    score only each query term's top-{CHAMPION_R}-by-tftd docs, with
+    TRUE dft from the full index. The salted two-stage champion build
+    (queries/ranked.champion_lists) must equal the oracle's single
+    global window — the skew-safe construction is what's under test."""
+    from .queries.ranked import champion_lists, rank_topk_champions
+
+    idx = simple_index(spark, sf_dir)
+    champs = champion_lists(idx, r=CHAMPION_R)
+    top = rank_topk_champions(idx, champs, RANK_QUERY, "bm25", 10,
+                              normalize=simple_query_term)
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+    )
+
+
 BATCH_RANK_QUERIES = {
     "q_a": "table scan merge",
     "q_b": "customer line value",
@@ -1808,15 +1876,17 @@ for _name in list(QUERIES):
 # rows). Entries whose coverage is strictly subsumed by another green
 # entry are demoted to the tail so a cap can only ever cut redundancy:
 #   dedup_minhash_sig      — recomputed inside dedup_minhash_pairs
+#   dedup_simhash          — fingerprints recomputed inside dedup_simhash_pairs
 #   classify_nb            — classify_nb_split runs the same NB on a split
 #   rank_default_pruned    — same S7 prune mechanism as rank_bm25_pruned
 #   sim_lsh_buckets        — the bucket column is re-derived in sim_ann_topk
 #   bool_and_missing_term  — same degenerate-term path as rank_bm25_missing_term
-# All 55 remain registered and are pytest-checked by tools/check_gate.py.
+# All 56 remain registered and are pytest-checked by tools/check_gate.py.
 # ---------------------------------------------------------------------------
 
 _DEMOTED = (
     "dedup_minhash_sig",
+    "dedup_simhash",
     "classify_nb",
     "rank_default_pruned",
     "sim_lsh_buckets",
