@@ -177,13 +177,22 @@ def jaccard_verify(docs: DataFrame, candidates: DataFrame,
                    threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs:
     |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. Returns
-    (doc_a, doc_b, jaccard) for pairs ≥ threshold."""
+    (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+
+    The candidate×shingle joins are explicitly pinned to sort-merge:
+    BOTH sides are corpus-scaled (candidates can reach 10^7+ rows even
+    under banding), so a broadcast is never safe — without the hint,
+    AQE's row estimate for the freshly-generated candidate table can
+    come in under the broadcast threshold and OOM the driver building
+    the broadcast (observed at 800k docs / 11M candidates)."""
     sh = shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
-        candidates.select("doc_a", "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        candidates.select("doc_a", "doc_b").hint("merge")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle").hint("merge"),
+              "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle").hint("merge"),
+              ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
