@@ -82,6 +82,40 @@ def test_porter2_sql_fuzz_matches_python():
     assert not bad, bad[:10]
 
 
+def test_porter2_sql_real_corpus_vocab():
+    """Real English vocabulary, extracted through the actual reference
+    tokenizer path (EnglishTokenStream split + NewTokenProcessor clean
+    + hyphen expansion) from the reference's own shipped corpora —
+    the distribution the gate oracle actually stems."""
+    import glob
+    import json as jsonlib
+
+    from searchengine_spark.text.tokenizer import _clean_token, english_tokens
+
+    vocab: set[str] = set()
+
+    def add_text(txt: str) -> None:
+        for tok in english_tokens(txt):
+            c = _clean_token(tok)
+            if "-" in c:
+                vocab.update([c.replace("-", "")] + c.split("-"))
+            else:
+                vocab.add(c)
+
+    for fp in sorted(glob.glob("/root/reference/MobyDick10Chapters/*.txt"))[:5]:
+        add_text(open(fp, errors="ignore").read())
+    for fp in sorted(glob.glob("/root/reference/relevance_cranfield/*.json"))[:60]:
+        try:
+            add_text(jsonlib.load(open(fp, errors="ignore")).get("body", ""))
+        except Exception:
+            continue
+    assert len(vocab) > 2000
+    words = sorted(vocab)
+    got = _sql_stems(words)
+    bad = [(w, stem(w), got.get(w)) for w in words if got.get(w) != stem(w)]
+    assert not bad, bad[:10]
+
+
 def test_porter2_scalar_sql():
     con = duckdb.connect()
     rows = dict(con.execute(
