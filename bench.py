@@ -36,7 +36,12 @@ PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES_N", "20000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "800000"))
 SCALE_CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_N", "2"))
 SCALE_CORES_4N = SCALE_CORES_N * 4
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+# 4 interleaved trial pairs: host contention on this shared VM comes in
+# multi-minute episodes that can span an entire 3-trial window (observed
+# once: every local[8] trial 74-80s vs 56s on a quiet host while the
+# same session's local[2] trials moved only 8%) — a 4th pair buys
+# another independent window for best-of selection at ~+5 min.
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
 WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "16000000"))
 
 BM25_QUERIES = [
