@@ -161,8 +161,10 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 8,
         for i in range(num_hashes)
     )
     return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        # signatures are corpus-sized: pin to sort-merge (see
+        # jaccard_verify's note on AQE broadcast misestimates)
+        pairs.hint("merge").join(sig_a.hint("merge"), "doc_a")
+        .join(sig_b.hint("merge"), "doc_b")
         .withColumn("n_matches", matches.cast("long"))
         .filter(F.col("n_matches") >= min_matches)
         .select(
@@ -179,12 +181,14 @@ def jaccard_verify(docs: DataFrame, candidates: DataFrame,
     |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets. Returns
     (doc_a, doc_b, jaccard) for pairs ≥ threshold.
 
-    The candidate×shingle joins are explicitly pinned to sort-merge:
-    BOTH sides are corpus-scaled (candidates can reach 10^7+ rows even
-    under banding), so a broadcast is never safe — without the hint,
-    AQE's row estimate for the freshly-generated candidate table can
-    come in under the broadcast threshold and OOM the driver building
-    the broadcast (observed at 800k docs / 11M candidates)."""
+    Every join here is explicitly pinned to sort-merge: candidates
+    (10^7+ rows even under banding), shingles, and the per-doc size
+    table are ALL corpus-scaled, so a broadcast is never safe — without
+    the hint, AQE's row estimate for the freshly-generated candidate
+    table can come in under the broadcast threshold and OOM the driver
+    building the broadcast (observed at 800k docs / 11M candidates),
+    and at the 10^12-doc design point even the (doc_id, n_sh) table is
+    terabytes."""
     sh = shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -198,9 +202,11 @@ def jaccard_verify(docs: DataFrame, candidates: DataFrame,
     )
     return (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n_sh").alias("na")), "doc_a")
+                                F.col("n_sh").alias("na")).hint("merge"),
+                   "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("nb")), "doc_b")
+                           F.col("n_sh").alias("nb")).hint("merge"),
+              "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common")

@@ -50,6 +50,36 @@ def main() -> None:
         "doc_id", "tftd"
     ).explain("formatted")
 
+    print("=" * 70)
+    print("CHAMPION TOP-K — expect: champion candidates BROADCAST to the")
+    print("term-pruned postings scan (left_semi BroadcastHashJoin), then")
+    print("one partial-agg groupBy(doc_id), TakeOrderedAndProject; the")
+    print("two-stage champion build shows two bounded window sorts, no")
+    print("global sort")
+    print("=" * 70)
+    from searchengine_spark.queries.ranked import (
+        champion_lists,
+        rank_topk_champions,
+    )
+
+    champs = champion_lists(idx, r=32)
+    rank_topk_champions(idx, champs, "table scan merge", "bm25", 10,
+                        normalize=simple_query_term).explain()
+
+    print("=" * 70)
+    print("JACCARD VERIFY — candidate x shingle joins must be SortMergeJoin")
+    print("(never a broadcast of the corpus-scaled candidate table)")
+    print("=" * 70)
+    from searchengine_spark.ops.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    jaccard_verify(docs, cand).explain()
+
 
 if __name__ == "__main__":
     main()
