@@ -191,10 +191,12 @@ def run_dedup_e2e(queries: dict, extra: dict) -> None:
     root = "/tmp/bench_pipeline"
     s = get_spark("bench-dedup", cores=CPUS)
     path = f"{root}/docs/data"
-    if not os.path.exists(path):  # SCALING=0 runs stage their own copy
-        from searchengine_spark.pipeline.index_pipeline import stage_docs
+    # stage_docs is fingerprinted (pipeline version + n_docs + seed):
+    # a hit is a no-op, a stale/partial corpus from a prior run with a
+    # different SCALING_N is re-staged instead of silently reused
+    from searchengine_spark.pipeline.index_pipeline import stage_docs
 
-        stage_docs(s, root, SCALING_N, partitions=256)
+    stage_docs(s, root, SCALING_N, partitions=256)
     docs = s.read.parquet(path).select("doc_id", "text")
     n_docs = docs.count()
 

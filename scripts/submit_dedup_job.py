@@ -58,14 +58,30 @@ def main() -> None:
     docs = spark.read.parquet(args.docs_parquet).select("doc_id", "text")
     stages: dict[str, dict] = {}
 
+    from pyspark.sql import functions as F
+
     t0 = time.time()
     n_docs = docs.count()
     n_exact = exact_duplicates(docs).count()
+    # Exact dedup ACTS here, not just reports: keep the smallest doc_id
+    # per identical text and drop the rest BEFORE MinHash. This is what
+    # makes lsh_candidate_pairs' bucket_cap safe — a 10^5-copy
+    # boilerplate group would otherwise share one LSH bucket, blow the
+    # cap, be dropped from candidate generation, and silently survive
+    # near-dup dedup entirely.
+    keep_first = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs_u = docs.join(keep_first, "doc_id", "left_semi").cache()
+    n_unique = docs_u.count()
     stages["exact"] = {"n_docs": n_docs, "n_exact_dup_groups": n_exact,
+                       "n_dropped_exact": n_docs - n_unique,
                        "wall_s": round(time.time() - t0, 2)}
 
     t0 = time.time()
-    sigs = minhash_signatures(docs, num_hashes=args.num_hashes).cache()
+    sigs = minhash_signatures(docs_u, num_hashes=args.num_hashes).cache()
     stages["signatures"] = {"n": sigs.count(),
                             "wall_s": round(time.time() - t0, 2)}
 
@@ -83,17 +99,18 @@ def main() -> None:
     }
 
     t0 = time.time()
-    dup_pairs = jaccard_verify(docs, cand, threshold=args.threshold).cache()
+    dup_pairs = jaccard_verify(docs_u, cand, threshold=args.threshold).cache()
     stages["verified"] = {"n": dup_pairs.count(),
                           "threshold": args.threshold,
                           "wall_s": round(time.time() - t0, 2)}
 
     t0 = time.time()
-    kept = dedup_filter(docs, dup_pairs)
+    kept = dedup_filter(docs_u, dup_pairs)
     kept.write.mode("overwrite").parquet(args.out)
     n_kept = spark.read.parquet(args.out).count()
     stages["write"] = {"n_kept": n_kept,
-                       "n_dropped": n_docs - n_kept,
+                       "n_dropped_neardup": n_unique - n_kept,
+                       "n_dropped_total": n_docs - n_kept,
                        "wall_s": round(time.time() - t0, 2)}
 
     print(json.dumps({"job": "dedup", "out": args.out, "stages": stages}))

@@ -224,9 +224,13 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     any pair. (Greedy policy: for chains a<b<c this keeps a and drops
     b,c — the standard keep-first heuristic; full connected-components
     clustering would be an iterative join, unnecessary for the
-    keep-smallest contract.) One broadcast anti-join."""
+    keep-smallest contract.) The anti-join strategy is left to AQE: the
+    drop list is usually small (broadcast) but is corpus-scaled in the
+    worst case (a heavily-duplicated crawl can drop most of the corpus)
+    — a forced broadcast would recreate the driver-OOM mode documented
+    in jaccard_verify."""
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return docs.join(drop, "doc_id", "left_anti")
 
 
 def simhash_candidate_pairs(fingerprints: DataFrame, bands: int = 4,

@@ -269,12 +269,26 @@ class IvfIndex:
             new_cents = list(cents)
             for row in sums:
                 cid, cnt = int(row["centroid_id"]), int(row["_cnt"])
+                # float(sum) FIRST, matching SQL's CAST(sum AS DOUBLE)
+                # / cnt: past 2^53 per-dim sums (≈8.5e9 unit-norm
+                # vectors per cell at the 2^20 scale) Python's exact
+                # int/int division would round the true rational while
+                # SQL rounds the sum to double first — both engines
+                # must round at the same step for the replay to stay
+                # bit-identical.
                 new_cents[cid] = [
-                    int(math_floor(row[f"_s{d}"] / cnt)) for d in range(dim)
+                    int(math_floor(float(row[f"_s{d}"]) / cnt))
+                    for d in range(dim)
                 ]
             cents = new_cents
 
         assigned = assign(base).drop("_xs")
+        # release the fit-time cache: keeping a corpus-sized
+        # embeddings+scaled-ints frame pinned for the session would
+        # evict hotter caches. The returned plan recomputes the scaled
+        # column once more if materialized later — callers running many
+        # searches should cache `assigned` themselves.
+        base.unpersist()
         return IvfIndex(assigned, cents, id_col, vec_col)
 
     def _probe_cells_fixedpoint(self, query_vec: list[float],

@@ -53,11 +53,16 @@ rtok AS (
   FROM rtokarr
 ),
 ctok AS (
-  -- NewTokenProcessor: strip non-alnum edges, lowercase, drop ' and "
+  -- NewTokenProcessor: strip non-alnum edges, lowercase, drop ' and ".
+  -- Unicode classes \p{{L}}\p{{N}} mirror Python str.isalnum() (which
+  -- accepts accented letters and numeric forms), so the twin holds on
+  -- non-ASCII corpora too, not just the shipped ASCII testdata.
   SELECT doc_id, pos, n_tok,
          replace(replace(lower(
-           regexp_replace(regexp_replace(rawtok, '^[^a-zA-Z0-9]+', ''),
-                          '[^a-zA-Z0-9]+$', '')), '''', ''), '"', '') AS c
+           regexp_replace(regexp_replace(rawtok,
+                          '^[^\\p{{L}}\\p{{N}}]+', ''),
+                          '[^\\p{{L}}\\p{{N}}]+$', '')), '''', ''), '"', '')
+           AS c
   FROM rtok
 ),
 etok AS (

@@ -193,9 +193,16 @@ def champion_lists(index: SparkIndex, r: int = 64, salt: int = 16,
     from pyspark.sql.window import Window
 
     _, avg_dl = index.corpus_scalars()
-    stat_cols = [c for c in ("doc_length", "Ld", "byte_size", "avg_tftd")
-                 if c in index.postings.columns]
-    base = index.postings.select("term", "doc_id", "tftd", *stat_cols)
+    stat_cols = ("doc_length", "Ld", "byte_size", "avg_tftd")
+    if set(stat_cols) <= set(index.postings.columns):
+        base = index.postings.select("term", "doc_id", "tftd", *stat_cols)
+    else:
+        # un-enriched postings (e.g. a legacy persisted index): the
+        # impact expression needs the per-doc stats, so join doc_stats
+        # once at champion-build time (index-time, amortized)
+        base = index.postings.select("term", "doc_id", "tftd").join(
+            index.doc_stats.select("doc_id", *stat_cols), "doc_id"
+        )
     impact = _wdt(strategy, avg_dl) / _normalizer(strategy)
     base = base.withColumn(
         "_impact_e6", F.floor(impact * F.lit(1e6)).cast("long")

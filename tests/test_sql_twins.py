@@ -171,6 +171,39 @@ def test_ref_bm25_sql_matches_python_oracle(duck, docs):
     assert [tuple(r) for r in got] == exp
 
 
+def test_ref_analyzer_sql_non_ascii_parity():
+    """The SQL analyzer twin must track Python's Unicode-aware
+    isalnum()/lower() semantics, not an ASCII approximation: accented
+    letters, numeric forms (½), hyphen expansion, and quote dropping
+    all behave identically."""
+    from searchengine_spark.oracle.ref_sql import ref_prefix
+    from searchengine_spark.text.tokenizer import analyze_document
+
+    rows = [
+        (0, "émigré tables ...naïve! 'quote' 1½x running merge"),
+        (1, "tables merge"),
+        (2, "a-b c--d -- émigré"),
+        (3, "onlyone"),
+        (4, ""),
+        (5, "Müller's Straße-42 großes"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?)", rows)
+    got = sorted(
+        tuple(r) for r in con.execute(
+            ref_prefix() + "SELECT term, doc_id, tftd FROM refpost"
+        ).fetchall()
+    )
+    exp = []
+    for did, text in rows:
+        tf: dict[str, int] = {}
+        for t, _ in analyze_document(text).term_positions:
+            tf[t] = tf.get(t, 0) + 1
+        exp.extend((t, did, c) for t, c in tf.items())
+    assert got == sorted(exp)
+
+
 SIMPLE_PREFIX = """
 WITH tokarr AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts, text
