@@ -1837,6 +1837,32 @@ def phrase_quirky(spark, sf_dir):
     ).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+@register(
+    "text_unigram_logprob",
+    SQL_PREFIX
+    + """
+, nt AS (SELECT count(*)::DOUBLE AS n FROM tok),
+pr AS (
+  SELECT term, count(*) / (SELECT n FROM nt) AS p FROM tok GROUP BY term
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       floor(avg(ln(p.p)) * 1e6)::BIGINT AS mean_logprob_e6
+FROM tok t JOIN pr p USING (term) GROUP BY t.doc_id
+""",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality signal: per-doc mean token
+    log-probability under the corpus's own unigram MLE (the
+    51st entry — past the driver's 50-entry budget, verified by
+    tools/check_gate.py and pytest instead)."""
+    from .ops.textstats import unigram_logprob
+
+    out = unigram_logprob(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", _e6(F.col("mean_logprob")).alias("mean_logprob_e6")
+    )
+
+
 @register("near_quirky", quirky_pair_sql(SQL_PREFIX, "table", "scan", 3,
                                          "near"))
 def near_quirky(spark, sf_dir):
@@ -1893,10 +1919,19 @@ _DEMOTED = (
     "bool_and_missing_term",
 )
 
+# Non-redundant entries added after the 50-slot budget filled: placed
+# between the top-50 and the redundancy demotes so the driver's checked
+# set keeps its strongest 50; these are verified by tools/check_gate.py
+# (56/56 green at sf0.01) and pytest instead.
+_BEYOND_BUDGET = (
+    "text_unigram_logprob",
+)
+
 
 def _reorder_registry() -> None:
-    order = [n for n in QUERIES if n not in _DEMOTED] + [
-        n for n in _DEMOTED if n in QUERIES
+    tail = _BEYOND_BUDGET + _DEMOTED
+    order = [n for n in QUERIES if n not in tail] + [
+        n for n in tail if n in QUERIES
     ]
     for d in (QUERIES, ORACLE_SQL):
         snapshot = dict(d)

@@ -112,6 +112,47 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_pass", passes)
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob): mean token log-probability
+    under the corpus's OWN unigram language model — the classic
+    LM-based quality signal of web-scale curation pipelines (CCNet-
+    style filtering, Wenzek et al. 2020, arXiv:1911.00359): documents
+    whose token distribution is far from the corpus mass (gibberish,
+    boilerplate codes, wrong-language fragments) score a low mean
+    logprob and can be threshold-filtered. Self-contained: the "model"
+    is the corpus unigram MLE p(t) = count(t)/N, so no external model
+    ships, and the whole op is two codegen aggregations:
+
+    * term counts — one groupBy(term) with partial aggregation (the
+      Zipf head is bounded by map-side combine, same shape as
+      index_vocabulary);
+    * per-doc mean — join tokens to the term-prob table on term (sort-
+      merge at corpus scale; the prob table is vocabulary-sized, NOT
+      broadcastable at 10^12 docs) and one groupBy(doc_id).
+
+    Deterministic to e6 quantization: ln of an exact count ratio,
+    averaged — both engines compute identical doubles per token; the
+    sum order can differ, so gate consumers quantize the mean.
+    """
+    ts = token_array(F.col(text_col))
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(ts).alias("term"),
+    )
+    n_total = tok.count()
+    probs = tok.groupBy("term").agg(
+        (F.count("*") / F.lit(float(n_total))).alias("p")
+    )
+    return (
+        tok.join(probs.hint("merge"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(F.log("p")).alias("mean_logprob"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  modulus: int = 1_000_000_007) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling document hash —

@@ -131,6 +131,29 @@ def test_fingerprint_long_doc_no_overflow(spark):
     assert 0 <= fp < n_tokens * 1_000_000_007
 
 
+def test_unigram_logprob(spark):
+    """Hand-checked unigram LM on a 3-doc corpus + the quality-signal
+    property: a doc of rare tokens scores a lower mean logprob than a
+    doc of corpus-head tokens."""
+    import math
+
+    from searchengine_spark.ops.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "the the the cat"), (1, "the the dog dog"), (2, "zyx qwv")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    n = 10  # total tokens
+    p = {"the": 5 / n, "cat": 1 / n, "dog": 2 / n, "zyx": 1 / n, "qwv": 1 / n}
+    exp0 = (3 * math.log(p["the"]) + math.log(p["cat"])) / 4
+    exp2 = (math.log(p["zyx"]) + math.log(p["qwv"])) / 2
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["mean_logprob"] == pytest.approx(exp0, abs=1e-12)
+    assert rows[2]["mean_logprob"] == pytest.approx(exp2, abs=1e-12)
+    assert rows[2]["mean_logprob"] < rows[0]["mean_logprob"]
+
+
 def test_classifiers_majority_class_sanity(spark, docs):
     from searchengine_spark.ops.classify import knn_classify, nb_classify, rocchio_classify
 
