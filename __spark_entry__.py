@@ -2,11 +2,12 @@
 
 ``entry(spark)`` smoke-runs the flagship reference-parity BM25 pipeline
 at sf0.001. ``queries()``/``oracle_sql()`` expose the operator registry
-from ``searchengine_spark.gate``: every SQL-expressible operator is
-checked against the DuckDB oracle at sf0.01; the stemmed
-reference-parity paths (Porter2 has no offline DuckDB equivalent) are
-rows-only here and rank-identity-verified by ``python -m pytest -x -q``
-against the pure-Python oracle instead.
+from ``searchengine_spark.gate``: since round 3 EVERY registered entry
+carries DuckDB oracle SQL — including the stemmed reference-parity
+paths (full Porter2 generated as SQL CTEs, ``oracle/porter2_sql.py``),
+the quirky phrase/NEAR merges (recursive-CTE pointer walks) and IVF
+(fixed-point integer Lloyd replayed in SQL). The same pairs are also
+replayed by ``tools/check_gate.py`` and ``python -m pytest -x -q``.
 """
 
 from __future__ import annotations

@@ -3,19 +3,28 @@ the reference's in-memory indexing loop (/root/reference/main.py:142-217)
 and index structures (/root/reference/indexes/positionalinvertedindex.py,
 /root/reference/indexes/invertedindex.py).
 
-Design for 10^12-doc scale:
+Design for 10^12-doc scale — the index build is SHUFFLE-FREE:
 
 * Tokenization + stemming runs as ONE Arrow-batched pandas UDF pass per
   document (no per-row Python UDF calls; each unique token in a batch
   is stemmed once via a batch-local cache — Zipfian text makes this
-  cache hit >95%).
-* ``postings`` is produced by a single shuffle on the composite key
-  (term, doc_id). The composite key is NOT skewed even for Zipf head
-  terms ("the" appears once per (term, doc_id) group), so no salting is
-  needed here; partial aggregation (map-side combine) already bounds
-  the shuffle. Skew handling for per-TERM aggregation (df counts,
-  posting-list segments) is in segments.py where groups are bounded by
-  fixed-size blocks.
+  cache hit >95%). The UDF emits postings ALREADY GROUPED per document
+  (term → ascending positions): a positional posting (term, doc_id,
+  tftd, positions) is a doc-local fact, so grouping it inside the
+  per-doc pass costs O(tokens) in a Python dict and removes the
+  (term, doc_id) shuffle entirely — the exploded token stream never
+  crosses the wire.
+* ``doc_stats`` (Ld, avg_tftd) are likewise doc-local: higher-order
+  ``F.aggregate`` over the grouped array computes them in the same map
+  stage, so there is no postings→doc_id re-aggregation and no
+  doc_stats join. Denormalizing doc stats onto each posting row (the
+  SparkIndex contract) is a same-row projection, not a join.
+  The whole build is scan → UDF → project/explode: embarrassingly
+  parallel by construction, which is why the measured N→4N scaling of
+  this stage tracks ~1.0 (BENCH/PERF.md). The only shuffles left in
+  the indexing lifecycle are the ones that buy a queryable layout:
+  the term-bucket repartition in ``write_index``/``stage_segments``
+  and per-TERM collection stats (``term_stats_salted``, skew-salted).
 * ``doc_stats`` / ``corpus_stats`` are tiny per-doc / scalar tables;
   corpus_stats is broadcast at query time.
 * Everything downstream is columnar: the ranked path never reads the
@@ -37,12 +46,17 @@ from ..text.tokenizer import analyze_document, analyze_document_stream, process_
 ANALYZE_SCHEMA = T.StructType(
     [
         T.StructField(
-            "terms",
+            # per-doc GROUPED postings: term → ascending positions
+            # (scan order is non-decreasing, and the reference's
+            # multi-emit quirks — hyphen triple-emit at one position —
+            # appear as repeated adjacent values, exactly what the old
+            # sort_array(collect_list(pos)) produced)
+            "postings",
             T.ArrayType(
                 T.StructType(
                     [
                         T.StructField("term", T.StringType()),
-                        T.StructField("pos", T.IntegerType()),
+                        T.StructField("positions", T.ArrayType(T.IntegerType())),
                     ]
                 )
             ),
@@ -76,16 +90,23 @@ def _make_analyze_batch(analyze_fn):
                 cache[tok] = exp
             return exp
 
-        terms_col, len_col, biword_col = [], [], []
+        post_col, len_col, biword_col = [], [], []
         for text in texts:
             ana = analyze_fn(text if text is not None else "", cached_processor)
-            terms_col.append([{"term": t, "pos": p} for t, p in ana.term_positions])
+            # group doc-locally (O(tokens) dict pass) — positions append
+            # in scan order, i.e. already ascending per term
+            grouped: dict[str, list[int]] = {}
+            for t, p in ana.term_positions:
+                grouped.setdefault(t, []).append(p)
+            post_col.append(
+                [{"term": t, "positions": ps} for t, ps in grouped.items()]
+            )
             len_col.append(ana.doc_length)
             # per-doc dedupe mirrors InvertedIndex.add_term's consecutive
             # same-doc dedupe (invertedindex.py:11-17)
             biword_col.append(list(dict.fromkeys(ana.biwords)))
         return pd.DataFrame(
-            {"terms": terms_col, "doc_length": len_col, "biwords": biword_col}
+            {"postings": post_col, "doc_length": len_col, "biwords": biword_col}
         )
 
     return _analyze_batch
@@ -167,40 +188,28 @@ def build_index(
         udf(F.col(text_col)).alias("a"),
         byte_size.alias("byte_size"),
     )
+
+    # Doc-local stats over the grouped postings array (no shuffle):
+    # Ld = sqrt(sum over distinct terms of (1+ln tftd)^2)  (main.py:186-191)
+    # avg_tftd = sum(tftd)/#distinct terms                  (main.py:199-209)
+    stats = analyzed.select(
+        "doc_id",
+        F.col("a.postings").alias("plist"),
+        F.col("a.doc_length").cast("double").alias("doc_length"),
+        F.col("a.biwords").alias("biwords"),
+        "byte_size",
+        doc_local_ld(F.col("a.postings")).alias("Ld"),
+        doc_local_avg_tftd(F.col("a.postings")).alias("avg_tftd"),
+    )
     if persist:
         from pyspark import StorageLevel
 
-        analyzed = analyzed.persist(StorageLevel.MEMORY_AND_DISK)
+        # one persisted pass holds the (expensive) UDF output; every
+        # index table below is a pure projection of it
+        stats = stats.persist(StorageLevel.MEMORY_AND_DISK)
 
-    tokens = analyzed.select(
-        "doc_id", F.explode("a.terms").alias("tp")
-    ).select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
-
-    # One shuffle on (term, doc_id); map-side partial aggregation bounds
-    # the data moved. sort_array reproduces ascending position order
-    # (reference appends in scan order, positionalinvertedindex.py:11-21).
-    postings = tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("int").alias("tftd"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
-
-    # Ld = sqrt(sum over distinct terms of (1+ln tftd)^2)  (main.py:186-191)
-    # avg_tftd = sum(tftd)/#distinct terms                  (main.py:199-209)
-    per_doc = postings.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))).alias("Ld"),
-        (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
-    )
-
-    doc_stats = (
-        analyzed.select(
-            "doc_id",
-            F.col("a.doc_length").cast("double").alias("doc_length"),
-            "byte_size",
-        )
-        .join(per_doc, "doc_id", "left")
-        .fillna({"Ld": 0.0, "avg_tftd": 0.0})
-        .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
-    )
+    doc_stats = stats.select("doc_id", "Ld", "doc_length", "byte_size",
+                             "avg_tftd")
 
     corpus_stats = doc_stats.agg(
         F.count("*").alias("n_docs"),
@@ -208,19 +217,53 @@ def build_index(
     )
 
     biword = (
-        analyzed.select("doc_id", F.explode("a.biwords").alias("term"))
+        stats.select("doc_id", F.explode("biwords").alias("term"))
         .select("term", "doc_id")
     )
 
-    # Denormalize doc stats into postings (see SparkIndex docstring):
-    # one build-time doc_id-keyed join so ranked scoring reads
-    # everything it needs from the postings scan alone.
-    postings = postings.join(doc_stats, "doc_id").select(
-        "term", "doc_id", "tftd", "positions",
+    # Denormalized postings (see SparkIndex docstring) fall out of the
+    # same row: explode the grouped array next to its own doc's stats —
+    # a projection, not the doc_id join the pre-grouped design needed.
+    postings = stats.select(
+        "doc_id", "doc_length", "Ld", "byte_size", "avg_tftd",
+        F.explode("plist").alias("tp"),
+    ).select(
+        F.col("tp.term").alias("term"),
+        "doc_id",
+        F.size("tp.positions").cast("int").alias("tftd"),
+        F.col("tp.positions").alias("positions"),
         "doc_length", "Ld", "byte_size", "avg_tftd",
     )
 
     return SparkIndex(postings, doc_stats, corpus_stats, biword)
+
+
+def doc_local_ld(plist) -> F.Column:
+    """Ld = sqrt(Σ_t (1+ln tftd_t)²) computed INSIDE the row via a
+    higher-order aggregate over the grouped postings array — replaces a
+    corpus-wide groupBy(doc_id). Empty docs fold to sqrt(0) = 0.0, the
+    old left-join + fillna value."""
+    return F.sqrt(
+        F.aggregate(
+            plist,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.pow(
+                F.lit(1.0) + F.log(F.size(x["positions"]).cast("double")),
+                F.lit(2.0),
+            ),
+        )
+    )
+
+
+def doc_local_avg_tftd(plist) -> F.Column:
+    """avg_tftd = Σ_t tftd_t / #distinct terms, doc-local. 0.0 for
+    empty docs (matching the old fillna)."""
+    total = F.aggregate(
+        plist, F.lit(0), lambda acc, x: acc + F.size(x["positions"])
+    )
+    return F.when(F.size(plist) > 0,
+                  total.cast("double") / F.size(plist)).otherwise(F.lit(0.0))
 
 
 def term_stats_salted(postings: DataFrame, salt: int = 16) -> DataFrame:

@@ -64,10 +64,15 @@ def build_simple_index(docs: DataFrame, doc_id_col: str = "doc_id",
                        text_col: str = "text", persist: bool = False) -> SparkIndex:
     """Build a SparkIndex under the simple analyzer.
 
-    Same scale properties as the reference-analyzer build
-    (``build.build_index``): one shuffle on the composite (term, doc_id)
-    key — unskewed even for Zipf head terms — with map-side partial
-    aggregation; doc/corpus stats are narrow per-doc aggregates.
+    ONE shuffle total: the raw docs are hash-repartitioned by doc_id
+    up front (the narrowest representation the corpus ever has), and
+    every downstream exchange requirement is then already satisfied —
+    groupBy(term, doc_id) and groupBy(doc_id) need only co-location of
+    equal doc_ids (ClusteredDistribution on a key superset), the biword
+    lead() window partitions by doc_id, and the denormalizing
+    postings⋈doc_stats join is co-partitioned on doc_id from both
+    sides. Without the up-front repartition each of those is its own
+    corpus-sized exchange of the (3× larger) exploded token stream.
     doc_length here is the plain token count (no reference +1 quirk) and
     Ld/avg_tftd use the same formulas (main.py:186-209).
     """
@@ -75,7 +80,7 @@ def build_simple_index(docs: DataFrame, doc_id_col: str = "doc_id",
         F.col(doc_id_col).cast("long").alias("doc_id"),
         token_array(F.col(text_col)).alias("ts"),
         F.octet_length(F.col(text_col)).cast("double").alias("byte_size"),
-    )
+    ).repartition("doc_id")
     if persist:
         from pyspark import StorageLevel
 

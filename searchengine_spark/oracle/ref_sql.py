@@ -54,7 +54,7 @@ rtok AS (
 ),
 ctok AS (
   -- NewTokenProcessor: strip non-alnum edges, lowercase, drop ' and ".
-  -- Unicode classes \p{{L}}\p{{N}} mirror Python str.isalnum() (which
+  -- Unicode classes \\p{{L}}\\p{{N}} mirror Python str.isalnum() (which
   -- accepts accented letters and numeric forms), so the twin holds on
   -- non-ASCII corpora too, not just the shipped ASCII testdata.
   SELECT doc_id, pos, n_tok,

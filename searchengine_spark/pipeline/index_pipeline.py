@@ -5,12 +5,19 @@ Stage graph (each stage = parquet + lineage manifest via
 
     docs       pages(url, warc_ts, html, text, lang) → extracted text +
                deterministic doc_id (global url rank, corpus.py)
-    analyzed   ONE Arrow pandas-UDF pass: per-doc term/position arrays,
-               doc_length, biwords, byte_size — the only Python stage;
-               everything downstream is whole-stage-codegen JVM
-    postings   (term, doc_id, tftd, positions) — shuffle on the unskewed
-               composite key with map-side combine
-    doc_stats / corpus_stats / biword — narrow aggregates
+    analyzed   ONE Arrow pandas-UDF pass: per-doc GROUPED postings
+               (term → ascending positions), doc_length, biwords,
+               byte_size — the only Python stage; everything downstream
+               is whole-stage-codegen JVM
+    postings   (term, doc_id, tftd, positions + denormalized doc stats)
+               — a pure MAP stage (explode of the doc-grouped arrays):
+               positional postings are doc-local facts, so this build
+               needs NO shuffle at all (v2; v1 shuffled on
+               (term, doc_id) and its measured N→4N scaling, 0.75,
+               capped the whole pipeline — see PERF.md)
+    doc_stats / corpus_stats / biword — doc_stats is likewise map-only
+               (higher-order aggregate per row); corpus_stats is the
+               one scalar agg
 
 The expensive tokenization runs exactly once per corpus regardless of
 how many outputs or query sessions follow — the warehouse-scale
@@ -23,10 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import docs_from_pages, pages_df
-from ..indexing.build import SparkIndex, analyze_udf
+from ..indexing.build import (
+    SparkIndex,
+    analyze_udf,
+    doc_local_avg_tftd,
+    doc_local_ld,
+)
 from .checkpoint import run_stage
 
-PIPELINE_VERSION = "v1"
+PIPELINE_VERSION = "v2"  # v2 = doc-grouped analyzed schema, map-only stages
 
 
 def stage_docs(spark: SparkSession, root: str, n_docs: int, seed: int = 42,
@@ -70,47 +82,48 @@ def run_index_pipeline(
             byte_size.alias("byte_size"),
         ).select(
             "doc_id",
-            F.col("a.terms").alias("terms"),
+            F.col("a.postings").alias("postings"),
             F.col("a.doc_length").alias("doc_length"),
             F.col("a.biwords").alias("biwords"),
             "byte_size",
         ),
     )
 
+    # MAP-ONLY: postings are doc-local facts, already grouped by the
+    # analyze UDF — this stage is explode + same-row stat projection
+    # (the denormalized SparkIndex contract), no exchange anywhere.
     postings = run_stage(
         spark, root, "postings", fp,
-        lambda: (
-            analyzed.repartition(n_parts)
-            .select("doc_id", F.explode("terms").alias("tp"))
-            .select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
-            .groupBy("term", "doc_id")
-            .agg(
-                F.count("*").cast("int").alias("tftd"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-        ),
-    )
-
-    doc_stats = run_stage(
-        spark, root, "doc_stats", fp,
         lambda: (
             analyzed.select(
                 "doc_id",
                 F.col("doc_length").cast("double").alias("doc_length"),
                 "byte_size",
-            )
-            .join(
-                postings.groupBy("doc_id").agg(
-                    F.sqrt(
-                        F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))
-                    ).alias("Ld"),
-                    (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
-                ),
+                doc_local_ld(F.col("postings")).alias("Ld"),
+                doc_local_avg_tftd(F.col("postings")).alias("avg_tftd"),
+                F.explode("postings").alias("tp"),
+            ).select(
+                F.col("tp.term").alias("term"),
                 "doc_id",
-                "left",
+                F.size("tp.positions").cast("int").alias("tftd"),
+                F.col("tp.positions").alias("positions"),
+                "doc_length", "Ld", "byte_size", "avg_tftd",
             )
-            .fillna({"Ld": 0.0, "avg_tftd": 0.0})
-            .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
+        ),
+    )
+
+    # MAP-ONLY: per-doc weights via the same higher-order aggregates —
+    # no postings re-aggregation, no join.
+    doc_stats = run_stage(
+        spark, root, "doc_stats", fp,
+        lambda: (
+            analyzed.select(
+                "doc_id",
+                doc_local_ld(F.col("postings")).alias("Ld"),
+                F.col("doc_length").cast("double").alias("doc_length"),
+                "byte_size",
+                doc_local_avg_tftd(F.col("postings")).alias("avg_tftd"),
+            )
         ),
     )
 

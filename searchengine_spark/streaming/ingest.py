@@ -52,7 +52,7 @@ def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
         F.octet_length("html").cast("double").alias("byte_size"),
     ).select(
         "doc_id", "url",
-        F.col("a.terms").alias("terms"),
+        F.col("a.postings").alias("postings"),
         F.col("a.doc_length").alias("doc_length"),
         F.col("a.biwords").alias("biwords"),
         "byte_size",
@@ -94,23 +94,25 @@ def compact_index(spark: SparkSession, root: str) -> SparkIndex:
         .drop("_rn", "batch_id")
     )
 
-    tokens = latest.select(
-        "doc_id", F.explode("terms").alias("tp")
-    ).select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
-    postings = tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("int").alias("tftd"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+    # Doc-local (shuffle-free) postings + stats — the deltas already
+    # carry per-doc grouped arrays; the only exchange in compaction is
+    # the last-write-wins window above, which dedupe genuinely needs.
+    from ..indexing.build import doc_local_avg_tftd, doc_local_ld
+
+    postings = latest.select(
+        "doc_id", F.explode("postings").alias("tp")
+    ).select(
+        F.col("tp.term").alias("term"),
+        "doc_id",
+        F.size("tp.positions").cast("int").alias("tftd"),
+        F.col("tp.positions").alias("positions"),
     )
-    per_doc = postings.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tftd"), F.lit(2.0)))).alias("Ld"),
-        (F.sum("tftd") / F.count("*")).cast("double").alias("avg_tftd"),
-    )
-    doc_stats = (
-        latest.select("doc_id", F.col("doc_length").cast("double").alias("doc_length"),
-                      "byte_size")
-        .join(per_doc, "doc_id", "left")
-        .fillna({"Ld": 0.0, "avg_tftd": 0.0})
-        .select("doc_id", "Ld", "doc_length", "byte_size", "avg_tftd")
+    doc_stats = latest.select(
+        "doc_id",
+        doc_local_ld(F.col("postings")).alias("Ld"),
+        F.col("doc_length").cast("double").alias("doc_length"),
+        "byte_size",
+        doc_local_avg_tftd(F.col("postings")).alias("avg_tftd"),
     )
     corpus_stats = doc_stats.agg(
         F.count("*").alias("n_docs"), F.avg("doc_length").alias("avg_doc_length")
