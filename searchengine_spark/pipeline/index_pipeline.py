@@ -92,6 +92,11 @@ def run_index_pipeline(
     # MAP-ONLY: postings are doc-local facts, already grouped by the
     # analyze UDF — this stage is explode + same-row stat projection
     # (the denormalized SparkIndex contract), no exchange anywhere.
+    # The Ld/avg_tftd aggregates MUST be a separate select BELOW the
+    # explode: a generator in the same select puts every other
+    # expression in the Project ABOVE Generate, re-running the
+    # O(#terms) fold once per exploded posting row (~tftd× per doc —
+    # measured 1.5-1.7× whole-pipeline slowdown).
     postings = run_stage(
         spark, root, "postings", fp,
         lambda: (
@@ -101,6 +106,9 @@ def run_index_pipeline(
                 "byte_size",
                 doc_local_ld(F.col("postings")).alias("Ld"),
                 doc_local_avg_tftd(F.col("postings")).alias("avg_tftd"),
+                "postings",
+            ).select(
+                "doc_id", "doc_length", "byte_size", "Ld", "avg_tftd",
                 F.explode("postings").alias("tp"),
             ).select(
                 F.col("tp.term").alias("term"),
