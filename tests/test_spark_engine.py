@@ -71,6 +71,26 @@ def test_doc_stats_parity(pets_sidx, pets_oidx):
     assert math.isclose(avg_dl, pets_oidx.avg_doc_length, abs_tol=1e-12)
 
 
+def test_doc_stats_degenerate_docs(spark):
+    """Empty / punctuation-only / single-token docs through the v2
+    doc-local stat folds (indexing/build.doc_local_ld/avg_tftd): empty
+    postings arrays must fold to Ld=0/avg_tftd=0 (the pre-v2
+    left-join + fillna value), the +1 docLength quirk must survive,
+    and the pairwise loop's 1-token-doc drop must keep such docs out
+    of postings while doc_stats still carries a row for them."""
+    rows = [(0, ""), (1, "..."), (2, "cats"), (3, "cats cats cats jump")]
+    sidx = build_index(_docs_df(spark, rows))
+    oidx = oracle.build_index(rows)
+    got = {r["doc_id"]: r for r in sidx.doc_stats.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for doc_id, r in got.items():
+        assert math.isclose(r["Ld"], oidx.ld[doc_id], abs_tol=1e-12)
+        assert r["doc_length"] == oidx.doc_length[doc_id]
+        assert math.isclose(r["avg_tftd"], oidx.avg_tftd[doc_id], abs_tol=1e-12)
+    post_docs = {r["doc_id"] for r in sidx.postings.collect()}
+    assert post_docs == {3}  # 1-token and empty docs emit no postings
+
+
 BOOLEAN_GOLDENS = [
     ('"pets should play"', 1),
     ('"pets should run and jump and play"', 1),
