@@ -6,9 +6,12 @@ Measures (BASELINE.md targets):
   corpus (the north-star input shape), plus the pure-JVM simple analyzer.
 * BM25 top-k latency p50 at K=10 and K=50 over a fixed query set.
 * boolean / phrase query latency.
-* scaling: the same pages index build at local[8] vs local[32] →
+* scaling: the same pages index build at local[N] vs local[4N] →
   throughput at both + scaling efficiency (sandbox evidence for the
   north rule's N→4N ≥ 0.8 criterion). Skip with SPARK_GRAFT_SCALING=0.
+* query-side scaling: rank_topk_batch over the staged index at the same
+  two core counts (the read path's N→4N evidence). Skip with
+  SPARK_GRAFT_QUERY_SCALING=0.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -44,6 +47,10 @@ SCALE_CORES_4N = SCALE_CORES_N * 4
 # same session's local[2] trials moved only 8%) — a 4th pair buys
 # another independent window for best-of selection at ~+5 min.
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
+# query-side scaling reuses the staged index; 3 interleaved trial pairs
+# (~8 min) — enough best-of windows to dodge one noise burst
+QSCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_QSCALE_TRIALS", "3"))
+QUERY_SCALING = os.environ.get("SPARK_GRAFT_QUERY_SCALING", "1") != "0"
 WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "16000000"))
 
 BM25_QUERIES = [
@@ -169,6 +176,106 @@ def run_scaling(queries: dict, extra: dict) -> None:
         f"docs_per_sec_local{n4}": round(thr[n4], 1),
         "efficiency_pipeline": round(thr[n4] / (4 * thr[n]), 3),
         "efficiency_core_stages": round(core_stage[n4] / (4 * core_stage[n]), 3),
+    }
+
+
+def run_query_scaling(
+    queries: dict,
+    extra: dict,
+    index_root: str | None = None,
+    n_queries: int = 180,
+    trials: int | None = None,
+    band: tuple[int, int] = (20, 200),
+) -> None:
+    """Query-side N→4N scaling: ``rank_topk_batch`` (the query-log
+    replay path — ONE job for the whole batch) over the SAME pre-staged
+    pages index ``run_scaling`` just built, at local[N] vs local[4N].
+
+    Complements the index-build criterion: proves the READ path's plan
+    (term-pruned scan → broadcast joins → one partial-agg shuffle →
+    per-query window top-k) also parallelizes. Protocol details that
+    matter on this shared VM (see BASELINE.md):
+    * queries are synthesized from the index's own vocabulary by
+      df-rank — evenly spaced ranks in ``band``, skipping the df≈N
+      stopword monsters at the head and the df=1 tail (a tail-term
+      batch does no posting work and measures only fixed overhead:
+      observed 0.35 "efficiency" from exactly that mistake);
+    * shuffle_partitions is PINNED to the same value at both core
+      counts so the job is identical and only parallelism differs;
+    * interleaved best-of-N trials, all walls recorded.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from searchengine_spark.indexing.build import SparkIndex
+    from searchengine_spark.queries.ranked import rank_topk_batch
+    from searchengine_spark.session import get_spark
+
+    trials = trials if trials is not None else QSCALE_TRIALS
+    root = index_root or (
+        f"/tmp/bench_pipeline/idx_c{SCALE_CORES_4N}_t{SCALE_TRIALS - 1}"
+    )
+
+    def load_index(s):
+        return SparkIndex(
+            postings=s.read.parquet(f"{root}/postings/data"),
+            doc_stats=s.read.parquet(f"{root}/doc_stats/data"),
+            corpus_stats=s.read.parquet(f"{root}/corpus_stats/data"),
+            biword=s.read.parquet(f"{root}/biword/data"),
+        )
+
+    # term selection once, untimed: ranks by (df desc, term) — a pure
+    # function of the index content, so the query set is deterministic
+    lo, hi = band
+    s = get_spark("bench-qscale-prep", cores=SCALE_CORES_4N)
+    ranked_vocab = (
+        s.read.parquet(f"{root}/postings/data")
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(hi)
+        .collect()
+    )
+    s.stop()
+    terms = [r["term"] for r in ranked_vocab[lo:hi]]
+    T_ = len(terms)
+    # modular pairing: robust to bands narrower than 2*n_queries
+    # (terms are then reused — the broadcast fan-out path); stride 7
+    # keeps the two terms of a pair distinct
+    batch = {
+        f"q{i}": f"{terms[(2 * i) % T_]} {terms[(2 * i + 7) % T_]}"
+        for i in range(n_queries)
+    }
+
+    warm_udf = F.pandas_udf(lambda x: x, T.LongType())
+    walls: dict[int, list[float]] = {SCALE_CORES_N: [], SCALE_CORES_4N: []}
+    for trial in range(trials):
+        for cores in (SCALE_CORES_N, SCALE_CORES_4N):  # interleaved
+            s = get_spark(f"bench-qscale-{cores}-t{trial}", cores=cores,
+                          shuffle_partitions=16)
+            s.range(0, 100_000, 1, numPartitions=cores * 4).select(
+                F.sum(warm_udf(F.col("id")))).collect()
+            idx = load_index(s)
+            # untimed warmup batch (JVM JIT + parquet footer reads)
+            rank_topk_batch(idx, {"w0": f"{terms[0]} {terms[1]}"}).count()
+            t0 = time.time()
+            rank_topk_batch(idx, batch, strategy="bm25", k=10).count()
+            walls[cores].append(time.time() - t0)
+            s.stop()
+    best = {c: min(ws) for c, ws in walls.items()}
+    thr = {c: n_queries / w for c, w in best.items()}
+    n, n4 = SCALE_CORES_N, SCALE_CORES_4N
+    queries[f"query_batch_local{n}"] = best[n]
+    queries[f"query_batch_local{n4}"] = best[n4]
+    extra["query_scaling"] = {
+        "index_root_docs": SCALING_N,
+        "n_queries": n_queries,
+        "df_rank_band": [lo, hi],
+        "trials": trials,
+        "selection": f"best_of_{trials}_interleaved",
+        "trials_wall_s": {f"local{c}": [round(w, 1) for w in ws]
+                          for c, ws in walls.items()},
+        "queries_per_sec": {f"local{c}": round(t, 2) for c, t in thr.items()},
+        "efficiency_n_to_4n": round(thr[n4] / (4 * thr[n]), 3),
     }
 
 
@@ -330,6 +437,10 @@ def main() -> None:
     # runs measured 0.85)
     if SCALING:
         run_scaling(queries, extra)
+        # query-side scaling immediately after, on the still-quiet VM,
+        # reusing the index run_scaling just staged
+        if QUERY_SCALING:
+            run_query_scaling(queries, extra)
 
     spark = get_spark("bench", cores=CPUS)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
