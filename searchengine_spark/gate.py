@@ -1863,6 +1863,99 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition",
+    SQL_PREFIX
+    + """
+, g2 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS g
+  FROM tok
+),
+c2 AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM g2 WHERE g IS NOT NULL GROUP BY doc_id, g
+),
+s2 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS best2,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup2
+  FROM c2 GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS g
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+c3 AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c
+  FROM g3 WHERE g IS NOT NULL GROUP BY doc_id, g
+),
+s3 AS (
+  SELECT doc_id, sum(c)::BIGINT AS n3, max(c)::BIGINT AS best3,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup3
+  FROM c3 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n2, 0) AS n_2grams,
+       coalesce(n3, 0) AS n_3grams,
+       coalesce(best2, 0) * 1000000 // greatest(coalesce(n2, 0), 1)
+         AS top_2gram_ppm,
+       coalesce(dup2, 0) * 1000000 // greatest(coalesce(n2, 0), 1)
+         AS dup_2gram_ppm,
+       coalesce(best3, 0) * 1000000 // greatest(coalesce(n3, 0), 1)
+         AS top_3gram_ppm,
+       coalesce(dup3, 0) * 1000000 // greatest(coalesce(n3, 0), 1)
+         AS dup_3gram_ppm
+FROM tokarr t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition fractions (top/dup
+    2-gram and 3-gram, integer ppm) — doc-local higher-order-function
+    fold on the engine side vs a window+groupBy replay in SQL."""
+    from .ops.textstats import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontam_13gram",
+    SQL_PREFIX
+    + """
+, arr AS (SELECT doc_id, list(term ORDER BY pos) AS ts
+          FROM tok GROUP BY doc_id),
+g AS (
+  SELECT doc_id, array_to_string(ts[i : i + 12], ' ') AS gram
+  FROM arr, UNNEST(range(1, len(ts) - 11)) AS t(i)
+  WHERE len(ts) >= 13
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+gh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash
+  FROM gd
+),
+bench AS (SELECT DISTINCT gram_hash FROM gh WHERE doc_id % 41 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_matched_ngrams
+FROM gh JOIN bench USING (gram_hash)
+GROUP BY doc_id
+""",
+)
+def decontam_13gram(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: the 'benchmark suite' is
+    a deterministic corpus slice (doc_id % 41 == 0 — no external data);
+    every doc sharing a distinct 13-token-gram with it is flagged with
+    its matched-gram count. Engine: doc-local n-grams + broadcast hash
+    join; oracle: the same 60-bit md5 hashes in SQL."""
+    from .ops.decontam import benchmark_ngram_set, contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return contamination(docs, benchmark_ngram_set(bench, n=13), n=13)
+
+
 @register("near_quirky", quirky_pair_sql(SQL_PREFIX, "table", "scan", 3,
                                          "near"))
 def near_quirky(spark, sf_dir):
@@ -1926,6 +2019,8 @@ _DEMOTED = (
 # (full-registry replay green at sf0.01) and pytest instead.
 _BEYOND_BUDGET = (
     "text_unigram_logprob",
+    "text_repetition",
+    "decontam_13gram",
 )
 
 

@@ -153,6 +153,97 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_col(ts: str, n: int) -> F.Column:
+    """Doc-local token n-grams of the token-array column named ``ts``,
+    as space-joined strings; array() when the doc has fewer than n
+    tokens. The size guard matters: Spark's sequence(1, stop) runs
+    DESCENDING when stop < 1, which would emit bogus out-of-range
+    slices instead of an empty list."""
+    return F.expr(
+        f"CASE WHEN size({ts}) >= {n} THEN "
+        f"transform(sequence(1, size({ts}) - {n - 1}), "
+        f"i -> array_join(slice({ts}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def _run_stats(arr: F.Column) -> F.Column:
+    """struct(best, dup) over a SORTED string array: ``best`` = length
+    of the longest run of equal elements (count of the most frequent
+    value), ``dup`` = total elements in runs of length ≥ 2 (elements
+    whose value appears more than once). One doc-local fold — the
+    within-document frequency table that would otherwise need a
+    groupBy never leaves the row."""
+    init = F.struct(
+        F.lit("\t").alias("prev"),  # tab: impossible in [a-z0-9 ]+ n-grams
+        F.lit(0).alias("run"), F.lit(0).alias("best"), F.lit(0).alias("dup"),
+    )
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        closed_best = F.greatest(acc["best"], acc["run"])
+        closed_dup = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["best"]).otherwise(closed_best).alias("best"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def finish(acc):  # close the trailing run
+        return F.struct(
+            F.greatest(acc["best"], acc["run"]).alias("best"),
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(0))
+            .alias("dup"),
+        )
+
+    return F.aggregate(arr, init, merge, finish)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021, arXiv:2112.11446 §A1.1, token-count
+    variant): per document, the fraction of token n-grams claimed by
+    the single most frequent n-gram (``top_{n}gram_ppm``) and by
+    n-grams occurring more than once (``dup_{n}gram_ppm``), for
+    n = 2, 3. Boilerplate, keyword-stuffed, and degenerately looping
+    pages score high and are threshold-filtered.
+
+    Fractions are integer parts-per-million: (count · 10^6) div
+    max(total, 1) — integer division end to end, so the values are
+    engine-exact (no float rounding to reconcile with the SQL twin).
+
+    Scale shape: everything is doc-local — n-grams, sort, and the
+    run-length fold happen inside the row via higher-order functions,
+    so the op is MAP-ONLY with zero shuffle at any corpus size (the
+    per-doc frequency table never materializes)."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_array(F.col(text_col)).alias("ts"),
+    ).select(
+        "doc_id",
+        F.array_sort(ngram_col("ts", 2)).alias("g2"),
+        F.array_sort(ngram_col("ts", 3)).alias("g3"),
+    ).select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_2grams"),
+        F.size("g3").cast("long").alias("n_3grams"),
+        _run_stats(F.col("g2")).alias("r2"),
+        _run_stats(F.col("g3")).alias("r3"),
+    )
+    return base.select(
+        "doc_id", "n_2grams", "n_3grams",
+        F.expr("cast(r2.best as bigint) * 1000000 div greatest(n_2grams, 1)")
+        .alias("top_2gram_ppm"),
+        F.expr("cast(r2.dup as bigint) * 1000000 div greatest(n_2grams, 1)")
+        .alias("dup_2gram_ppm"),
+        F.expr("cast(r3.best as bigint) * 1000000 div greatest(n_3grams, 1)")
+        .alias("top_3gram_ppm"),
+        F.expr("cast(r3.dup as bigint) * 1000000 div greatest(n_3grams, 1)")
+        .alias("dup_3gram_ppm"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  modulus: int = 1_000_000_007) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling document hash —

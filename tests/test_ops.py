@@ -367,3 +367,53 @@ def test_embedding_neardup_multitable_recall(spark):
     }
     assert (0, 1) not in one   # split in the only table
     assert (0, 1) in two       # second table recovers it
+
+
+def test_repetition_stats_hand_checked(spark):
+    """'a b a b a b': 2-grams = {'a b'x3, 'b a'x2} -> n2=5, best=3,
+    dup=5; 3-grams = {'a b a'x2, 'b a b'x2} -> n3=4, best=2, dup=4.
+    All-unique doc -> dup 0. Degenerate docs (1 token / empty) -> all
+    zeros, no bogus descending-sequence n-grams."""
+    from searchengine_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "one two three four"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
+    assert (r[0]["n_2grams"], r[0]["n_3grams"]) == (5, 4)
+    assert r[0]["top_2gram_ppm"] == 3 * 1_000_000 // 5
+    assert r[0]["dup_2gram_ppm"] == 1_000_000
+    assert r[0]["top_3gram_ppm"] == 500_000
+    assert r[0]["dup_3gram_ppm"] == 1_000_000
+    assert r[1]["dup_2gram_ppm"] == 0
+    assert r[1]["top_2gram_ppm"] == 1_000_000 // 3
+    for d in (2, 3):
+        assert all(
+            r[d][c] == 0
+            for c in ("n_2grams", "n_3grams", "top_2gram_ppm",
+                      "dup_2gram_ppm", "top_3gram_ppm", "dup_3gram_ppm")
+        )
+
+
+def test_decontamination(spark):
+    """Doc 1 shares exactly one 3-gram ('y z a') with the benchmark doc
+    0; doc 2 shares none. The action drops docs 0 and 1, keeps doc 2."""
+    from searchengine_spark.ops.decontam import (
+        benchmark_ngram_set,
+        contamination,
+        decontaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x y z a b"), (1, "q y z a r"), (2, "m n o p q")],
+        "doc_id long, text string",
+    )
+    bench = benchmark_ngram_set(docs.filter("doc_id = 0"), n=3)
+    got = {r["doc_id"]: r["n_matched_ngrams"]
+           for r in contamination(docs, bench, n=3).collect()}
+    assert got == {0: 3, 1: 1}  # doc 0 matches all its own 3 3-grams
+    clean = sorted(
+        r["doc_id"] for r in decontaminated(docs, bench, n=3).collect()
+    )
+    assert clean == [2]
