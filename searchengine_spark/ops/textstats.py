@@ -1,7 +1,10 @@
 """Text-analysis operators for training-data curation: token counting,
-n-gram/stopword language ID, quality scoring, and document
-fingerprinting — all whole-stage-codegen column expressions over the
-simple analyzer's token arrays (zero Python on executors).
+n-gram/stopword language ID, quality scoring, within-doc repetition
+filters, and document fingerprinting — all JVM-side column expressions
+over the simple analyzer's token arrays (zero Python on executors;
+the scalar paths are whole-stage codegen, the repetition fold uses
+higher-order array functions, which Catalyst evaluates off-codegen but
+still in-JVM and doc-locally).
 """
 
 from __future__ import annotations
