@@ -1969,6 +1969,304 @@ def near_quirky(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: PII redaction, stratified sampling, URL canon,
+# exact-substring dedup (ops/pii.py, ops/sampling.py, ops/urlstats.py,
+# ops/dedup.substring_pairs). The documents table carries no PII and no
+# url column, so both are synthesized DETERMINISTICALLY from doc_id with
+# the identical expression on both engines — no external data, and the
+# injected spans exercise every rule (mixed case, strippable ports,
+# utm-only queries, fragments, double trailing slashes, 2-digit country
+# codes).
+# ---------------------------------------------------------------------------
+
+
+def _pii_corpus(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII spans appended to text — four of
+    every seven docs get a known mix of emails / dotted quads / phones."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    inj = (
+        F.when(d % 7 == 0, F.lit(
+            " contact Bob.Smith+spam@Example.COM or ops@mail.example.org now"))
+        .when(d % 7 == 1, F.concat(
+            F.lit(" from 10.0."), s(d % 256),
+            F.lit(".7 and 999.300.1.2 logged")))
+        .when(d % 7 == 2, F.concat(
+            F.lit(" call +1 800-555-"), F.lpad(s(d % 10000), 4, "0"),
+            F.lit(" or +44 207-946-0958 today")))
+        .when(d % 7 == 3, F.concat(
+            F.lit(" mixed a.b@c.io on 192.168."), s(d % 100),
+            F.lit(".255 via +7 999-123-4567 end")))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        d.cast("long").alias("doc_id"),
+        F.concat(F.col("text"), inj).alias("text"),
+    )
+
+
+_PII_INJECT_SQL = """
+WITH d2 AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    text || CASE (doc_id % 7)
+      WHEN 0 THEN ' contact Bob.Smith+spam@Example.COM or ops@mail.example.org now'
+      WHEN 1 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 and 999.300.1.2 logged'
+      WHEN 2 THEN ' call +1 800-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' or +44 207-946-0958 today'
+      WHEN 3 THEN ' mixed a.b@c.io on 192.168.' || (doc_id % 100)::VARCHAR || '.255 via +7 999-123-4567 end'
+      ELSE ''
+    END AS text
+  FROM documents
+)
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{4}\b"
+
+
+@register(
+    "pii_redact",
+    _PII_INJECT_SQL
+    + f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+  (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+   + len(regexp_extract_all(text, '{_PII_IPV4}'))
+   + len(regexp_extract_all(text, '{_PII_PHONE}')))::BIGINT AS n_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IPV4}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM d2
+""",
+)
+def pii_redact(spark, sf_dir):
+    """PII detection counts + byte-exact redacted-text hash over the
+    deterministically injected corpus — Java-regex (codegen) vs RE2
+    (oracle) on a pattern subset chosen to agree exactly."""
+    from .ops.pii import pii_stats, redact_col
+
+    docs2 = _pii_corpus(load_table(spark, sf_dir, "documents"))
+    red = docs2.select(
+        "doc_id",
+        F.md5(redact_col(F.col("text")).cast("binary")).alias("redacted_md5"),
+    )
+    return pii_stats(docs2).join(red, "doc_id")
+
+
+_SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.625}
+# zh deliberately absent: unknown strata drop (threshold 0)
+
+
+def _sample_u32_sql() -> str:
+    from .ops.sampling import rate_threshold
+
+    case = " ".join(
+        f"WHEN '{k}' THEN {rate_threshold(v)}"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return (
+        "('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        f" < (CASE lang {case} ELSE 0 END)"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+SELECT doc_id::BIGINT AS doc_id, lang AS stratum
+FROM documents WHERE {_sample_u32_sql()}
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic seeded-hash stratified sample by language — the
+    oracle replays the identical md5-u32 keep decision per document, so
+    the hash check pins every row's fate, not just the realized rate."""
+    from .ops.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("stratum"),
+    )
+
+
+@register(
+    "sample_summary",
+    f"""
+SELECT lang AS stratum, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN {_sample_u32_sql()} THEN 1 ELSE 0 END)::BIGINT
+         AS n_sampled
+FROM documents GROUP BY lang
+""",
+)
+def sample_summary(spark, sf_dir):
+    """Realized mixture report (n_total / n_sampled per stratum)."""
+    from .ops.sampling import sample_summary as summary
+
+    return summary(load_table(spark, sf_dir, "documents"), _SAMPLE_RATES)
+
+
+def _synth_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): a deterministic Common-Crawl-shaped url per doc.
+    The normalization-RELEVANT components are functions of doc_id mod 5
+    (scheme, host, kept query param) and mod 97 (path), so doc_ids equal
+    mod 485 collide post-normalization (15 dup groups at 500 docs); the
+    strippable noise (case, :80/:443, utm params, fragments, trailing
+    slashes) varies on coprime moduli to exercise every rule."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = F.when(d % 5 < 2, F.lit("https")).otherwise(F.lit("http"))
+    scheme = F.when(d % 2 == 0, F.upper(scheme)).otherwise(scheme)
+    host = F.concat(F.lit("www.s"), s(d % 5), F.lit(".com"))
+    host = F.when(d % 3 == 0, F.upper(host)).otherwise(host)
+    port = (
+        F.when(d % 7 == 0, F.lit(":443"))
+        .when(d % 7 == 1, F.lit(":80"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p/"), s(d % 97),
+        F.when(d % 4 == 0, F.lit("/"))
+        .when(d % 8 == 3, F.lit("//"))
+        .otherwise(F.lit("")),
+    )
+    utm = F.when(
+        d % 6 < 2, F.concat(F.lit("?utm_source=s"), s(d % 11))
+    ).otherwise(F.lit(""))
+    kept_q = F.when(
+        d % 5 == 0,
+        F.when(d % 6 < 2, F.lit("&q=1")).otherwise(F.lit("?q=1")),
+    ).otherwise(F.lit(""))
+    frag = F.when(d % 9 > 5, F.concat(F.lit("#sec"), s(d % 9))).otherwise(
+        F.lit("")
+    )
+    url = F.concat(scheme, F.lit("://"), host, port, path, utm, kept_q, frag)
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"))
+
+
+_URL_NORM_SQL = r"""
+WITH pages AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    (CASE WHEN doc_id % 2 = 0
+          THEN upper(CASE WHEN doc_id % 5 < 2 THEN 'https' ELSE 'http' END)
+          ELSE CASE WHEN doc_id % 5 < 2 THEN 'https' ELSE 'http' END END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0
+             THEN upper('www.s' || (doc_id % 5)::VARCHAR || '.com')
+             ELSE 'www.s' || (doc_id % 5)::VARCHAR || '.com' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443'
+             WHEN doc_id % 7 = 1 THEN ':80' ELSE '' END)
+    || '/p/' || (doc_id % 97)::VARCHAR
+    || (CASE WHEN doc_id % 4 = 0 THEN '/'
+             WHEN doc_id % 8 = 3 THEN '//' ELSE '' END)
+    || (CASE WHEN doc_id % 6 < 2
+             THEN '?utm_source=s' || (doc_id % 11)::VARCHAR ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN
+          (CASE WHEN doc_id % 6 < 2 THEN '&q=1' ELSE '?q=1' END)
+        ELSE '' END)
+    || (CASE WHEN doc_id % 9 > 5
+             THEN '#sec' || (doc_id % 9)::VARCHAR ELSE '' END)
+    AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS hostport,
+    regexp_replace(regexp_extract(no_frag,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+    regexp_extract(no_frag, '\?([^#]*)', 1) AS query
+  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM pages)
+),
+norm AS (
+  SELECT doc_id,
+    regexp_replace(hostport, ':[0-9]+$', '') AS host,
+    scheme || '://' || regexp_replace(hostport, ':(80|443)$', '') || path
+      || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS norm_url
+  FROM (
+    SELECT *, array_to_string(list_filter(string_split(query, '&'),
+                p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS kept
+    FROM parts)
+)
+"""
+
+
+@register(
+    "url_dedup",
+    _URL_NORM_SQL
+    + """
+SELECT norm_url, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM norm GROUP BY norm_url
+""",
+)
+def url_dedup(spark, sf_dir):
+    """URL normalization + exact URL-level dedup groups: the full
+    normalizer (fragment / case / default-port / trailing-slash / utm
+    stripping) replayed rule-for-rule in RE2, hash-checked on all 485
+    normalized urls (15 groups of 2 at sf0.01)."""
+    from .ops.urlstats import url_dedup_groups
+
+    pages = _synth_pages(load_table(spark, sf_dir, "documents"))
+    return url_dedup_groups(pages)
+
+
+@register(
+    "url_host_stats",
+    _URL_NORM_SQL
+    + """
+SELECT host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT norm_url)::BIGINT AS n_urls
+FROM norm GROUP BY host
+""",
+)
+def url_host_stats(spark, sf_dir):
+    """Per-host doc and distinct-normalized-url rollup (the domain-mix
+    report)."""
+    from .ops.urlstats import host_stats
+
+    pages = _synth_pages(load_table(spark, sf_dir, "documents"))
+    return host_stats(pages)
+
+
+@register(
+    "dedup_substring",
+    SQL_PREFIX
+    + """
+, g AS (SELECT doc_id, array_to_string(ts[i : i + 6], ' ') AS gram
+        FROM tokarr, UNNEST(range(1, len(ts) - 5)) AS t(i)
+        WHERE len(ts) >= 7),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+gh AS (SELECT doc_id,
+              ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_hash
+       FROM gd),
+ok AS (SELECT gram_hash FROM gh
+       GROUP BY gram_hash HAVING count(*) BETWEEN 2 AND 10000)
+SELECT x.doc_id::BIGINT AS doc_a, y.doc_id::BIGINT AS doc_b,
+       count(*)::BIGINT AS n_shared_windows
+FROM gh x JOIN ok USING (gram_hash) JOIN gh y USING (gram_hash)
+WHERE x.doc_id < y.doc_id
+GROUP BY 1, 2
+""",
+)
+def dedup_substring(spark, sf_dir):
+    """Exact-substring dedup candidates (shared 7-token windows, Lee
+    et al. 2021 style) — 25 pairs at sf0.01; the oracle replays the
+    60-bit window hashes, the 2..bucket_cap pre-filter, and the
+    bucketed self-join."""
+    from .ops.dedup import substring_pairs
+
+    return substring_pairs(
+        load_table(spark, sf_dir, "documents"), n=7
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -2021,6 +2319,12 @@ _BEYOND_BUDGET = (
     "text_unigram_logprob",
     "text_repetition",
     "decontam_13gram",
+    "pii_redact",
+    "sample_stratified",
+    "sample_summary",
+    "url_dedup",
+    "url_host_stats",
+    "dedup_substring",
 )
 
 

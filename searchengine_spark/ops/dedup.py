@@ -313,3 +313,53 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         start=F.lit(0).cast("long"),
     )
     return bitsums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def substring_pairs(docs: DataFrame, n: int = 13,
+                    text_col: str = "text",
+                    bucket_cap: int = 10_000) -> DataFrame:
+    """Exact-substring dedup candidates (Lee et al. 2021,
+    arXiv:2107.06499 §4.1, window-hash formulation): document pairs
+    sharing at least one token n-gram WINDOW, with the count of shared
+    distinct windows. Unlike MinHash (probabilistic, whole-doc
+    similarity), this catches partial overlap — a paragraph copied
+    into an otherwise-unrelated page — with zero false positives at
+    the window level.
+
+    Scale shape: per-doc distinct window hashes are built row-locally
+    (array_distinct before the explode — same map-only front end as
+    decontam.doc_ngram_hashes); the only corpus-sized exchange is the
+    groupBy(gram_hash), whose output is pre-filtered to hashes seen in
+    2..bucket_cap docs before the self-join, so pair volume is bounded
+    exactly like lsh_candidate_pairs' banded buckets (a window shared
+    by >cap docs is boilerplate — a nav bar, a license header — and is
+    excluded from pairing rather than allowed to go quadratic).
+
+    Returns (doc_a, doc_b, n_shared_windows) with doc_a < doc_b.
+    """
+    # function-level import: decontam imports from this module at load
+    from .decontam import doc_ngram_hashes
+
+    grams = doc_ngram_hashes(docs, n, text_col)
+    ok = (
+        grams.groupBy("gram_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= bucket_cap))
+        .select("gram_hash")
+    )
+    # both sides are corpus-sized → pin sort-merge (AQE broadcast
+    # misestimate hazard, same note as lsh_candidate_pairs)
+    g2 = grams.hint("merge").join(ok.hint("merge"), "gram_hash")
+    return (
+        g2.alias("x")
+        .join(
+            g2.alias("y"),
+            (F.col("x.gram_hash") == F.col("y.gram_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )

@@ -1,0 +1,199 @@
+"""PII / stratified-sampling / URL-canon / substring-dedup semantics.
+
+Cross-engine value parity for these ops is enforced by the gate
+(pii_redact, sample_stratified, sample_summary, url_dedup,
+url_host_stats, dedup_substring vs DuckDB); these tests pin the
+semantic properties the hash alone can't name: which spans redact,
+sample stability under corpus growth, each normalization rule in
+isolation, and the bucket_cap boilerplate bound.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    from searchengine_spark.ops.pii import pii_stats, redact_pii
+
+    docs = _docs(spark, [
+        (0, "mail a.b+c@ex.io or X_9@sub.domain.org today"),
+        (1, "hosts 10.0.0.1 and 255.255.255.255 and 999.1.2.3"),
+        (2, "call +1 800-555-0199 or +44 207-946-0958"),
+        (3, "no pii here, just words and 12345 and a.b"),
+        (4, "combo z@q.de at 8.8.8.8 via +7 999-123-4567 end"),
+    ])
+    stats = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (stats[0]["n_emails"], stats[0]["n_ipv4"], stats[0]["n_phones"]) == (2, 0, 0)
+    # range validation is deliberately out of scope: 999.1.2.3 matches
+    assert (stats[1]["n_emails"], stats[1]["n_ipv4"]) == (0, 3)
+    assert stats[2]["n_phones"] == 2
+    assert stats[3]["n_pii"] == 0
+    assert (stats[4]["n_emails"], stats[4]["n_ipv4"], stats[4]["n_phones"]) == (1, 1, 1)
+
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[0] == "mail <EMAIL> or <EMAIL> today"
+    assert red[1] == "hosts <IP> and <IP> and <IP>"
+    assert red[2] == "call <PHONE> or <PHONE>"
+    assert red[3] == docs.filter("doc_id = 3").first()["text"]
+    assert red[4] == "combo <EMAIL> at <IP> via <PHONE> end"
+
+
+def test_pii_non_matches_survive(spark):
+    from searchengine_spark.ops.pii import redact_pii
+
+    docs = _docs(spark, [
+        # bare numbers, @-less, +-less phone shapes must pass through
+        (0, "version 1.2.3 at x.y, 800-555-0199, user at host dot com"),
+    ])
+    assert redact_pii(docs).first()["text"] == docs.first()["text"]
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_sample_deterministic_and_growth_stable(spark):
+    from searchengine_spark.ops.sampling import stratified_sample
+
+    rates = {"en": 0.5, "de": 0.25}
+    small = stratified_sample(_corpus(spark, 400), rates)
+    big = stratified_sample(_corpus(spark, 1000), rates)
+    kept_small = {r["doc_id"] for r in small.collect()}
+    kept_small2 = {r["doc_id"] for r in small.collect()}
+    kept_big = {r["doc_id"] for r in big.collect()}
+    assert kept_small == kept_small2  # rerun-identical
+    # growth stability: a doc's fate never changes when docs are added
+    assert kept_small == {d for d in kept_big if d < 400}
+
+
+def test_sample_rates_and_unknown_stratum(spark):
+    from searchengine_spark.ops.sampling import sample_summary
+
+    rows = sample_summary(_corpus(spark, 3000), {"en": 0.8}).collect()
+    by = {r["stratum"]: r for r in rows}
+    # 'de' has no configured rate -> dropped entirely
+    assert by["de"]["n_sampled"] == 0
+    # realized 'en' rate within a loose binomial band around 0.8
+    en = by["en"]
+    assert en["n_total"] == 1000
+    assert 0.72 <= en["n_sampled"] / en["n_total"] <= 0.88
+
+
+def test_rate_threshold_bounds():
+    from searchengine_spark.ops.sampling import rate_threshold
+
+    assert rate_threshold(0.0) == 0
+    assert rate_threshold(1.0) == 1 << 32
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+# ---------------------------------------------------------------------------
+# URL normalization / host stats
+# ---------------------------------------------------------------------------
+
+
+NORM_CASES = [
+    # (raw, normalized, host) — one rule per case
+    ("HTTP://WWW.Ex.COM/A/b", "http://www.ex.com/A/b", "www.ex.com"),
+    ("http://ex.com:80/x", "http://ex.com/x", "ex.com"),
+    ("https://ex.com:443/x", "https://ex.com/x", "ex.com"),
+    ("http://ex.com:8080/x", "http://ex.com:8080/x", "ex.com"),
+    ("http://ex.com/x/", "http://ex.com/x", "ex.com"),
+    ("http://ex.com/x///", "http://ex.com/x", "ex.com"),
+    ("http://ex.com/x#frag?fake=1", "http://ex.com/x", "ex.com"),
+    ("http://ex.com/x?utm_source=a&q=1&utm_b=c", "http://ex.com/x?q=1",
+     "ex.com"),
+    ("http://ex.com/x?utm_source=a", "http://ex.com/x", "ex.com"),
+    ("http://ex.com/x?b=2&a=1", "http://ex.com/x?b=2&a=1", "ex.com"),
+    ("http://ex.com", "http://ex.com", "ex.com"),
+]
+
+
+def test_url_normalization_rules(spark):
+    from searchengine_spark.ops.urlstats import normalize_urls
+
+    pages = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(NORM_CASES)],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in normalize_urls(pages).collect()}
+    for i, (raw, want_norm, want_host) in enumerate(NORM_CASES):
+        assert out[i]["norm_url"] == want_norm, raw
+        assert out[i]["host"] == want_host, raw
+
+
+def test_url_dedup_groups(spark):
+    from searchengine_spark.ops.urlstats import host_stats, url_dedup_groups
+
+    pages = spark.createDataFrame(
+        [
+            (3, "http://ex.com/x?utm_source=a"),
+            (1, "HTTP://EX.COM/x/"),
+            (2, "http://ex.com:80/x#top"),
+            (4, "http://other.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {r["norm_url"]: r for r in url_dedup_groups(pages).collect()}
+    g = groups["http://ex.com/x"]
+    assert (g["n_docs"], g["keep_doc_id"]) == (3, 1)
+    assert groups["http://other.com/x"]["n_docs"] == 1
+    hosts = {r["host"]: r for r in host_stats(pages).collect()}
+    assert (hosts["ex.com"]["n_docs"], hosts["ex.com"]["n_urls"]) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_pairs_partial_overlap(spark):
+    from searchengine_spark.ops.dedup import substring_pairs
+
+    shared = "one two three four five six seven"  # 7 tokens = 1 window
+    docs = _docs(spark, [
+        (0, f"alpha beta {shared} gamma"),
+        (1, f"delta {shared} epsilon zeta"),
+        (2, "unrelated words that never repeat anything here at all"),
+        # doc 3 repeats the shared window twice -> still DISTINCT per doc
+        (3, f"{shared} filler {shared}"),
+    ])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in substring_pairs(docs, n=7).collect()
+    }
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert all((2 not in p) for p in pairs)
+    # window counts are over DISTINCT windows within each doc
+    assert pairs[(0, 1)] == 1
+
+
+def test_substring_pairs_bucket_cap_drops_boilerplate(spark):
+    from searchengine_spark.ops.dedup import substring_pairs
+
+    nav = "home about contact privacy terms login search"
+    docs = _docs(spark, [(i, f"{nav} page{i} x y z") for i in range(6)])
+    # the nav window appears in 6 docs: cap=5 excludes it entirely
+    assert substring_pairs(docs, n=7, bucket_cap=5).count() == 0
+    # with a generous cap all 15 pairs surface
+    assert substring_pairs(docs, n=7, bucket_cap=100).count() == 15
