@@ -50,15 +50,19 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct word n-grams over simple-analyzer
-    tokens, built via array transform — no explode of raw tokens."""
-    ts = token_array(F.col(text_col))
-    shingle_arr = F.expr(
-        f"transform(sequence(1, greatest(size(ts) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {', '.join(f'ts[i + {j} - 1]' for j in range(n))}))"
-    )
+    tokens, built via array transform — no explode of raw tokens.
+    Docs shorter than n tokens emit no shingles (ngram_col's size guard
+    — a bare greatest(size-n+1, 0) stop is NOT safe because Spark's
+    sequence(1, 0) runs DESCENDING and indexes out of range)."""
+    # function-level import: textstats imports h60 from this module
+    from .textstats import ngram_col
+
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), ts.alias("ts"))
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            token_array(F.col(text_col)).alias("ts"),
+        )
+        .select("doc_id", F.explode(ngram_col("ts", n)).alias("shingle"))
         .distinct()
     )
 

@@ -197,3 +197,93 @@ def test_substring_pairs_bucket_cap_drops_boilerplate(spark):
     assert substring_pairs(docs, n=7, bucket_cap=5).count() == 0
     # with a generous cap all 15 pairs surface
     assert substring_pairs(docs, n=7, bucket_cap=100).count() == 15
+
+
+def test_shingles_short_docs_emit_nothing(spark):
+    # regression: sequence(1, 0) runs DESCENDING in Spark, so an
+    # unguarded transform indexed out of range on docs with < n tokens
+    from searchengine_spark.ops.dedup import shingles
+
+    docs = _docs(spark, [(0, "zz"), (1, "two words"), (2, "a b c d")])
+    out = shingles(docs, n=3).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert {r["shingle"] for r in out} == {"a b c", "b c d"}
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: one planted victim per stage
+# ---------------------------------------------------------------------------
+
+
+def test_run_curation_end_to_end(spark):
+    from searchengine_spark.pipeline.curation import (
+        CurationConfig,
+        run_curation,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on quiet green hills near town")
+    secret = ("the committee will convene on thursday to review the "
+              "annual budget proposal in detail")  # 14 tokens
+    rows = [
+        # survivors
+        (0, good, "en", "http://a.com/1"),
+        (7, "please contact me at a@b.io about the meeting scheduled "
+            "for next tuesday morning in the main office", "en",
+         "http://a.com/7"),
+        (8, "ein ganz normales deutsches dokument mit vielen "
+            "verschiedenen woertern und ohne jede wiederholung darin",
+         "de", "http://a.com/8"),
+        # victims, one per stage
+        (1, good, "en", "http://b.com/1"),              # exact dup of 0
+        (2, "totally different words here about sailing boats on "
+            "clear blue water under bright skies today", "en",
+         "HTTP://A.COM:80/1"),                          # url dup of 0
+        (3, good + " extra", "en", "http://a.com/3"),   # near dup of 0
+        (4, "zz", "en", "http://a.com/4"),              # quality fail
+        (5, " ".join(["spam ham"] * 30), "en", "http://a.com/5"),  # rep
+        (6, f"leading words then {secret} trailing words", "en",
+         "http://a.com/6"),                             # contaminated
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    bench = spark.createDataFrame([(100, secret)], "doc_id long, text string")
+    cfg = CurationConfig(sample_rates={"en": 1.0, "de": 0.0})
+    out = run_curation(docs, cfg, bench_docs=bench).collect()
+    by = {r["doc_id"]: r for r in out}
+
+    # de doc sampled out at rate 0; every planted victim dropped at its
+    # stage; the two en survivors remain
+    assert set(by) == {0, 7}
+    # PII redacted in place, other columns preserved
+    assert "<EMAIL>" in by[7]["text"] and "a@b.io" not in by[7]["text"]
+    assert by[0]["url"] == "http://a.com/1" and by[0]["lang"] == "en"
+
+    # stage accounting: monotone survivor counts, every stage present
+    s = cfg.stages
+    assert s["input"]["n_docs"] == 9
+    assert s["url_dedup"]["n_kept"] == 8
+    assert s["exact_dedup"]["n_kept"] == 7
+    assert s["near_dedup"]["n_kept"] == 6
+    assert s["quality"]["n_kept"] == 4
+    assert s["decontam"]["n_kept"] == 3
+    assert s["sample"]["n_kept"] == 2
+
+
+def test_run_curation_without_optional_stages(spark):
+    from searchengine_spark.pipeline.curation import (
+        CurationConfig,
+        run_curation,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} holds several distinct useful "
+             f"words about topic{i} and more", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    cfg = CurationConfig()  # no sampling, no bench, no url column
+    assert run_curation(docs, cfg).count() == 4
+    assert "url_dedup" not in cfg.stages
+    assert "decontam" not in cfg.stages
+    assert "sample" not in cfg.stages
