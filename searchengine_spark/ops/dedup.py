@@ -354,10 +354,12 @@ def substring_pairs(docs: DataFrame, n: int = 13,
     # both sides are corpus-sized → pin sort-merge (AQE broadcast
     # misestimate hazard, same note as lsh_candidate_pairs)
     g2 = grams.hint("merge").join(ok.hint("merge"), "gram_hash")
+    # the self-join sides are freshly-generated and corpus-sized too —
+    # same AQE misestimate hazard as jaccard_verify, so pin sort-merge
     return (
-        g2.alias("x")
+        g2.hint("merge").alias("x")
         .join(
-            g2.alias("y"),
+            g2.hint("merge").alias("y"),
             (F.col("x.gram_hash") == F.col("y.gram_hash"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )

@@ -98,9 +98,18 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
     from ..ops.pii import redact_pii
     from ..ops.textstats import quality_scores, repetition_stats
 
+    def advance(prev: DataFrame | None, new: DataFrame) -> tuple[DataFrame, int]:
+        """Materialize the next survivor set, then release the previous
+        stage's cache — peak memory stays at ~2 corpus snapshots instead
+        of one per stage (the difference between fitting and OOMing in a
+        single-JVM local run; on a cluster it's executor storage churn)."""
+        n = new.cache().count()
+        if prev is not None:
+            prev.unpersist()
+        return new, n
+
     t0 = time.time()
-    cur = docs.cache()
-    n_in = cur.count()
+    cur, n_in = advance(None, docs)
     cfg.record("input", t0, n_docs=n_in)
 
     # 1. URL-level dedup (crawl-side; no-op without a url column)
@@ -108,13 +117,17 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
         from ..ops.urlstats import normalize_url_col
 
         t0 = time.time()
-        cur = _keep_min_per_key(cur, normalize_url_col(F.col("url"))).cache()
-        cfg.record("url_dedup", t0, n_kept=cur.count())
+        cur, n = advance(
+            cur, _keep_min_per_key(cur, normalize_url_col(F.col("url")))
+        )
+        cfg.record("url_dedup", t0, n_kept=n)
 
     # 2. exact text dedup
     t0 = time.time()
-    cur = _keep_min_per_key(cur, F.md5(F.col("text").cast("binary"))).cache()
-    cfg.record("exact_dedup", t0, n_kept=cur.count())
+    cur, n = advance(
+        cur, _keep_min_per_key(cur, F.md5(F.col("text").cast("binary")))
+    )
+    cfg.record("exact_dedup", t0, n_kept=n)
 
     # 3. near-dedup (MinHash -> banded LSH -> exact Jaccard verify)
     t0 = time.time()
@@ -125,8 +138,9 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
     ).cache()
     n_cand = cand.count()
     pairs = jaccard_verify(cur, cand, threshold=cfg.jaccard_threshold)
-    cur = dedup_filter(cur, pairs).cache()
-    cfg.record("near_dedup", t0, n_candidates=n_cand, n_kept=cur.count())
+    cur, n = advance(cur, dedup_filter(cur, pairs))
+    cand.unpersist()
+    cfg.record("near_dedup", t0, n_candidates=n_cand, n_kept=n)
 
     # 4. quality + repetition filters (two map-only feature passes
     #    joined on doc_id; both are row-local so the join is the only
@@ -143,8 +157,8 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
         ).alias("rep_pass"),
     )
     ok = q.join(r, "doc_id").filter("quality_pass AND rep_pass").select("doc_id")
-    cur = cur.join(ok, "doc_id", "left_semi").cache()
-    cfg.record("quality", t0, n_kept=cur.count())
+    cur, n = advance(cur, cur.join(ok, "doc_id", "left_semi"))
+    cfg.record("quality", t0, n_kept=n)
 
     # 5. decontamination (optional)
     if bench_docs is not None:
@@ -152,8 +166,8 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
 
         t0 = time.time()
         grams = benchmark_ngram_set(bench_docs, n=cfg.decontam_n)
-        cur = decontaminated(cur, grams, n=cfg.decontam_n).cache()
-        cfg.record("decontam", t0, n_kept=cur.count())
+        cur, n = advance(cur, decontaminated(cur, grams, n=cfg.decontam_n))
+        cfg.record("decontam", t0, n_kept=n)
 
     # 6. PII redaction (map-only; no count change by construction)
     cur = redact_pii(cur)
@@ -163,9 +177,10 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
         from ..ops.sampling import stratified_sample
 
         t0 = time.time()
-        cur = stratified_sample(
-            cur, cfg.sample_rates, seed=cfg.sample_seed
-        ).cache()
-        cfg.record("sample", t0, n_kept=cur.count())
+        cur, n = advance(
+            cur, stratified_sample(cur, cfg.sample_rates,
+                                   seed=cfg.sample_seed)
+        )
+        cfg.record("sample", t0, n_kept=n)
 
     return cur
