@@ -339,6 +339,12 @@ def substring_pairs(docs: DataFrame, n: int = 13,
     by >cap docs is boilerplate — a nav bar, a license header — and is
     excluded from pairing rather than allowed to go quadratic).
 
+    Plan note: the declarative self-join re-derives the gram table once
+    per join leg (audited: 4 tokenize+explode scans, all SMJ). Fine at
+    bench scale; for a production run persist/checkpoint ``docs`` —
+    or materialize doc_ngram_hashes to parquet first — so the corpus
+    is tokenized once.
+
     Returns (doc_a, doc_b, n_shared_windows) with doc_a < doc_b.
     """
     # function-level import: decontam imports from this module at load
