@@ -375,3 +375,77 @@ def substring_pairs(docs: DataFrame, n: int = 13,
         )
         .agg(F.count("*").cast("long").alias("n_shared_windows"))
     )
+
+
+def remove_duplicate_spans(docs: DataFrame, n: int = 13,
+                           text_col: str = "text",
+                           keep_first: bool = True) -> DataFrame:
+    """Substring-granularity dedup ACTION (Lee et al. 2021,
+    arXiv:2107.06499 §4.2): rewrite each document with every token
+    n-gram window that also occurs in another document REMOVED, instead
+    of dropping whole documents. This is the operator that actually
+    deletes the copied paragraph / licence header / nav bar while
+    keeping the unique prose around it.
+
+    Granularity is the analyzer's token stream: the rewritten
+    ``text_col`` is the surviving tokens joined by single spaces (the
+    token array does not retain raw byte offsets, so byte-exact span
+    surgery is out of scope — downstream consumers of this pipeline
+    tokenize anyway). ``keep_first=True`` keeps each duplicated window
+    in its smallest-doc_id owner (the keep-smallest policy shared by
+    every dedup action here) and removes it everywhere else;
+    ``keep_first=False`` removes all copies everywhere.
+
+    Scale shape: window hashes with positions are built row-locally
+    and exploded; the exchanges are one groupBy(gram_hash) for the
+    duplicate-window directory (count distinct docs + keeper), one
+    pinned sort-merge join of windows against that directory (both
+    corpus-sized), one groupBy(doc_id) collecting removal starts, and
+    one doc_id join back. The rewrite itself — expanding starts to
+    covered positions and filtering the token array — is row-local.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_tokens_removed``.
+    """
+    from .textstats import ngram_col
+
+    d = F.col("doc_id").cast("long")
+    toks = docs.select(d.alias("doc_id"), token_array(F.col(text_col)).alias("ts"))
+    grams_pos = (
+        toks.select("doc_id", F.posexplode(ngram_col("ts", n)).alias("s0", "g"))
+        .select("doc_id", (F.col("s0") + 1).cast("int").alias("start"),
+                h60(F.col("g")).alias("gram_hash"))
+    )
+    dup_dir = (
+        grams_pos.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("gram_hash", "keeper")
+    )
+    hits = grams_pos.hint("merge").join(dup_dir.hint("merge"), "gram_hash")
+    if keep_first:
+        hits = hits.filter(F.col("doc_id") != F.col("keeper"))
+    starts = hits.groupBy("doc_id").agg(
+        F.collect_set("start").alias("_starts")
+    )
+
+    base = docs.withColumn("doc_id", d).join(starts, "doc_id", "left")
+    st = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(st, lambda s: F.sequence(s, s + F.lit(n - 1))))
+    )
+    ts = token_array(F.col(text_col))
+    # filter's (element, index) form keeps this row-local with no
+    # element_at / sequence-over-size bookkeeping (index is 0-based;
+    # covered starts are 1-based)
+    kept = F.filter(ts, lambda t, i: ~F.array_contains(covered, i + F.lit(1)))
+    out_cols = [c for c in docs.columns if c != text_col and c != "doc_id"]
+    return base.select(
+        "doc_id",
+        F.array_join(kept, " ").alias(text_col),
+        *out_cols,
+        (F.size(ts) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -210,6 +210,59 @@ def test_shingles_short_docs_emit_nothing(spark):
     assert {r["shingle"] for r in out} == {"a b c", "b c d"}
 
 
+def test_remove_duplicate_spans_keep_first(spark):
+    from searchengine_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven"  # exactly one 7-window
+    docs = _docs(spark, [
+        (0, f"alpha beta {shared} gamma"),       # keeper: untouched
+        (1, f"delta {shared} epsilon zeta"),     # loser: span removed
+        (2, "totally unrelated words that never repeat anything"),
+        (3, "tiny doc"),                         # < 7 tokens: untouched
+        (4, ""),                                 # empty: no crash
+    ])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=7).collect()}
+    assert out[0]["text"] == f"alpha beta {shared} gamma"
+    assert out[0]["n_tokens_removed"] == 0
+    assert out[1]["text"] == "delta epsilon zeta"
+    assert out[1]["n_tokens_removed"] == 7
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["text"] == "tiny doc"
+    assert out[4]["text"] == "" and out[4]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_remove_all(spark):
+    from searchengine_spark.ops.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven"
+    docs = _docs(spark, [
+        (0, f"alpha beta {shared} gamma"),
+        (1, f"delta {shared} epsilon zeta"),
+    ])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, n=7, keep_first=False).collect()
+    }
+    assert out[0]["text"] == "alpha beta gamma"
+    assert out[1]["text"] == "delta epsilon zeta"
+
+
+def test_remove_duplicate_spans_overlapping_windows(spark):
+    from searchengine_spark.ops.dedup import remove_duplicate_spans
+
+    # an 8-token shared run = two overlapping 7-windows in the loser;
+    # coverage is the union, so all 8 tokens go
+    shared = "one two three four five six seven eight"
+    docs = _docs(spark, [
+        (0, f"{shared} keeper tail words here"),
+        (1, f"head {shared} tail"),
+    ])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=7).collect()}
+    assert out[1]["text"] == "head tail"
+    assert out[1]["n_tokens_removed"] == 8
+    assert out[0]["n_tokens_removed"] == 0
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline: one planted victim per stage
 # ---------------------------------------------------------------------------
