@@ -2311,6 +2311,91 @@ def dedup_span_removal(spark, sf_dir):
     )
 
 
+_SQL_VERIFIED_CLUSTER_CTES = """
+, inter AS (
+  SELECT ca.doc_a, ca.doc_b, count(*)::BIGINT AS n_common
+  FROM (SELECT doc_a, doc_b FROM cand WHERE n_matches >= 2) ca
+  JOIN shingle sa ON sa.doc_id = ca.doc_a
+  JOIN shingle sb ON sb.doc_id = ca.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingle GROUP BY 1),
+verified AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_common / (za.n + zb.n - i.n_common)::DOUBLE >= 0.5
+),
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+           UNION SELECT doc_b, doc_a FROM verified),
+reach AS (
+  SELECT src AS node, src AS lab FROM cedges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN cedges e ON e.src = r.node
+)
+"""
+
+
+@register(
+    "dedup_clusters",
+    (SQL_PREFIX + SQL_CAND_CTE).replace("WITH tokarr", "WITH RECURSIVE tokarr", 1)
+    + _SQL_VERIFIED_CLUSTER_CTES
+    + """
+SELECT node::BIGINT AS doc_id, min(lab)::BIGINT AS cluster_id
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the jaccard-verified near-dup pairs:
+    (doc_id, cluster_id=min of component) — the transitive closure the
+    greedy pair policy lacks. Spark runs iterative hash-to-min label
+    propagation; the oracle replays it as a recursive reachability
+    CTE (min label reachable over symmetrized edges)."""
+    from .ops.dedup import (
+        duplicate_clusters,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verify(
+        docs, lsh_candidate_pairs(minhash_signatures(docs), min_matches=2),
+        threshold=0.5,
+    )
+    return duplicate_clusters(pairs)
+
+
+@register(
+    "dedup_cluster_corpus",
+    (SQL_PREFIX + SQL_CAND_CTE).replace("WITH tokarr", "WITH RECURSIVE tokarr", 1)
+    + _SQL_VERIFIED_CLUSTER_CTES
+    + """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(lab))
+""",
+)
+def dedup_cluster_corpus(spark, sf_dir):
+    """Keep-one-per-CLUSTER dedup action: the corpus after dropping
+    every non-representative component member (vs dedup_filtered_corpus's
+    greedy drop-doc_b policy, which over-keeps non-min members that
+    never appear as a pair's larger side)."""
+    from .ops.dedup import (
+        dedup_cluster_filter,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verify(
+        docs, lsh_candidate_pairs(minhash_signatures(docs), min_matches=2),
+        threshold=0.5,
+    )
+    return dedup_cluster_filter(docs, pairs).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
@@ -2371,6 +2456,8 @@ _BEYOND_BUDGET = (
     "url_host_stats",
     "dedup_substring",
     "dedup_span_removal",
+    "dedup_clusters",
+    "dedup_cluster_corpus",
 )
 
 

@@ -237,6 +237,88 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti")
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified duplicate ``pairs(doc_a,
+    doc_b)``: (doc_id, cluster_id) for every doc touched by a pair,
+    cluster_id = smallest doc_id in the component. This is the
+    transitive-closure step between pair generation and a
+    keep-one-per-cluster action: :func:`dedup_filter`'s greedy
+    drop-every-doc_b policy over-keeps when a non-min member never
+    appears as the larger side of a pair (edges (1,5),(3,5) keep both
+    1 and 3; the component {1,3,5} has one representative, 1).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (the hash-to-min scheme of Rastogi et al. 2012, "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds"): each round takes
+    the min over neighbours' labels, then compresses label chains by
+    one hop (label ← label(label)), converging in O(log diameter)
+    rounds — duplicate clusters are near-cliques, so 2-3 rounds in
+    practice. Per round: one edges⋈labels shuffle + groupBy(dst) min,
+    one labels self-join for the jump, then ``localCheckpoint`` to
+    truncate the iterative lineage (swap for a reliable checkpoint
+    under dynamic allocation, where executor loss drops local blocks).
+    Convergence is detected from sum(label) — per-node labels are
+    monotonically non-increasing, so the decimal(38,0) sum is a fixed
+    point iff the labels are — one cheap aggregate instead of a
+    change-count join. The driver loop is over O(log d) rounds, never
+    over data."""
+    e = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+
+    def _sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _sum(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst").agg(F.min("label").alias("nbr"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        new = labels.join(nbr, "doc_id").select(
+            "doc_id", F.least("label", "nbr").alias("label")
+        )
+        hop = new.select(F.col("doc_id").alias("label"), F.col("label").alias("ll"))
+        new = (
+            new.join(hop, "label", "left")
+            .select("doc_id", F.least("label", F.coalesce("ll", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        cur = _sum(new)
+        labels = new
+        if cur == prev:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+        prev = cur
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds "
+        "(component diameter > 2^max_iter is not a plausible dup cluster)"
+    )
+
+
+def dedup_cluster_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep-one-per-CLUSTER dedup action: resolve ``pairs`` to
+    connected components and keep only each component's smallest
+    doc_id (plus every doc in no pair). Strictly stronger than
+    :func:`dedup_filter`'s greedy pair policy — see
+    :func:`duplicate_clusters`. Anti-join strategy left to AQE, same
+    contract as dedup_filter."""
+    drop = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def simhash_candidate_pairs(fingerprints: DataFrame, bands: int = 4,
                             bits: int = 32,
                             max_hamming: int = 6) -> DataFrame:

@@ -263,6 +263,52 @@ def test_remove_duplicate_spans_overlapping_windows(spark):
     assert out[0]["n_tokens_removed"] == 0
 
 
+def test_duplicate_clusters_chain_and_star(spark):
+    from searchengine_spark.ops.dedup import duplicate_clusters
+
+    # chain 1-2-3 (diameter 2), star {10,11,12} via hub 10, isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_path_converges(spark):
+    from searchengine_spark.ops.dedup import duplicate_clusters
+
+    # a 33-node path: diameter 32 > max_iter rounds without pointer
+    # jumping; with it, convergence takes O(log d) rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(pairs, max_iter=10).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == 33
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from searchengine_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(pairs).count() == 0
+
+
+def test_dedup_cluster_filter_beats_greedy(spark):
+    from searchengine_spark.ops.dedup import dedup_cluster_filter, dedup_filter
+
+    docs = _docs(spark, [(1, "a"), (3, "b"), (5, "c"), (7, "d")])
+    # component {1,3,5} where 3 never appears as doc_b: greedy keeps
+    # {1,3,7}, cluster filter keeps exactly one rep {1,7}
+    pairs = spark.createDataFrame([(1, 5), (3, 5)], "doc_a long, doc_b long")
+    greedy = {r["doc_id"] for r in dedup_filter(docs, pairs).collect()}
+    cluster = {r["doc_id"] for r in dedup_cluster_filter(docs, pairs).collect()}
+    assert greedy == {1, 3, 7}
+    assert cluster == {1, 7}
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline: one planted victim per stage
 # ---------------------------------------------------------------------------
