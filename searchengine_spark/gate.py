@@ -2396,6 +2396,155 @@ def dedup_cluster_corpus(spark, sf_dir):
     return dedup_cluster_filter(docs, pairs).select("doc_id")
 
 
+def _synth_html(docs):
+    """Deterministic synthetic HTML page per document (keyed off
+    doc_id mods — same trick as _synth_pages for urls): optional
+    style/script/comment boilerplate, 0-2 links, an entity-laden
+    title, and the document text as the body paragraph. The documents
+    table has no html column, so the fixture IS the contract; the SQL
+    twin rebuilds it character-for-character."""
+    d = F.col("doc_id").cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+    style = F.when(
+        d % 4 == 0,
+        F.lit('<style type="text/css">body { color: #fff; }</style>'),
+    ).otherwise(F.lit(""))
+    script = F.when(
+        d % 3 == 0,
+        F.lit('<script src="x.js">var a = 1 < 2 && b > 3;</script>'),
+    ).otherwise(F.lit(""))
+    comment = F.when(
+        d % 7 == 0, F.lit("<!-- hidden <b>skip</b> text -->")
+    ).otherwise(F.lit(""))
+    link = lambda j: F.when(  # noqa: E731
+        d % 3 >= j,
+        F.concat(
+            F.lit('<a href="http://www.s'), s((d + j) % 5),
+            F.lit(".com/l/"), s(d % 13), F.lit(f'">l{j}</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    tail = F.when(
+        d % 5 == 0,
+        F.lit("<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp;amp; z</p>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "), s(d),
+        F.lit(" &amp; co</title>"), style, F.lit("</head><body>"),
+        comment, script,
+        F.lit("<h1>Doc "), s(d), F.lit("</h1>"),
+        link(1), link(2),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"), tail,
+        F.lit("</body></html>"),
+    )
+    return docs.select(d.alias("doc_id"), html.alias("html"))
+
+
+def _sql_entity_decode(expr: str) -> str:
+    from .ops.html import _ENTITIES
+
+    for ent, ch in _ENTITIES:
+        expr = f"replace({expr}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return expr
+
+
+_SQL_HTML_CTES = (
+    r"""
+WITH pages AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    '<!DOCTYPE html><html><head><title>Doc ' || doc_id::VARCHAR
+    || ' &amp; co</title>'
+    || (CASE WHEN doc_id % 4 = 0
+        THEN '<style type="text/css">body { color: #fff; }</style>'
+        ELSE '' END)
+    || '</head><body>'
+    || (CASE WHEN doc_id % 7 = 0
+        THEN '<!-- hidden <b>skip</b> text -->' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '<script src="x.js">var a = 1 < 2 && b > 3;</script>'
+        ELSE '' END)
+    || '<h1>Doc ' || doc_id::VARCHAR || '</h1>'
+    || (CASE WHEN doc_id % 3 >= 1
+        THEN '<a href="http://www.s' || ((doc_id + 1) % 5)::VARCHAR
+             || '.com/l/' || (doc_id % 13)::VARCHAR || '">l1</a>'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 >= 2
+        THEN '<a href="http://www.s' || ((doc_id + 2) % 5)::VARCHAR
+             || '.com/l/' || (doc_id % 13)::VARCHAR || '">l2</a>'
+        ELSE '' END)
+    || '<p>' || text || '</p>'
+    || (CASE WHEN doc_id % 5 = 0
+        THEN '<p>a &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp;amp; z</p>'
+        ELSE '' END)
+    || '</body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace("""
+    + _sql_entity_decode(
+        r"""
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g')"""
+    )
+    + r""", '[ \t\n\r]+', ' ', 'g')) AS text,
+    trim(regexp_replace("""
+    + _sql_entity_decode(
+        r"regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    )
+    + r""", '[ \t\n\r]+', ' ', 'g')) AS title,
+    regexp_extract_all(html, '(?is)<a\b[^>]*\bhref="([^"]*)"', 1) AS hrefs
+  FROM pages
+)
+"""
+)
+
+
+@register(
+    "html_extract",
+    _SQL_HTML_CTES
+    + """
+SELECT doc_id, title, md5(text) AS text_md5,
+       len(hrefs)::BIGINT AS n_links
+FROM stripped
+""",
+)
+def html_extract(spark, sf_dir):
+    """General HTML boilerplate strip (script/style/comment removal,
+    tag strip, 6-entity decode with &amp; LAST, whitespace collapse)
+    + title + link count over deterministic synthetic pages. The md5
+    pins the extracted text byte-for-byte, including the
+    &amp;amp; → literal &amp; decode-order quirk."""
+    from .ops.html import extract_visible_text
+
+    pages = _synth_html(load_table(spark, sf_dir, "documents"))
+    out = extract_visible_text(pages)
+    return out.select(
+        "doc_id", "title",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "n_links",
+    )
+
+
+@register(
+    "html_links",
+    _SQL_HTML_CTES
+    + """
+SELECT doc_id, generate_subscripts(hrefs, 1)::BIGINT AS link_pos,
+       unnest(hrefs) AS href
+FROM stripped
+""",
+)
+def html_links(spark, sf_dir):
+    """Outlink extraction: (doc_id, link_pos, href) in document order
+    — the edge list a link-graph stage consumes."""
+    from .ops.html import extract_links
+
+    return extract_links(_synth_html(load_table(spark, sf_dir, "documents")))
+
+
 # ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
@@ -2458,6 +2607,8 @@ _BEYOND_BUDGET = (
     "dedup_span_removal",
     "dedup_clusters",
     "dedup_cluster_corpus",
+    "html_extract",
+    "html_links",
 )
 
 

@@ -1,0 +1,100 @@
+"""General HTML boilerplate stripping and link extraction — the web
+ingest step between a raw crawl (``url``, ``html``) and the curation
+pipeline, for pages that are NOT the canonical fixture shape (those go
+through ``corpus.extract_text_udf``, the byte-identical pandas-UDF
+twin of the reference's reader; reference corpus loading:
+/root/reference/DiskIndexWriter.py + jsonfilereader.py read
+pre-extracted text, so the strip rules here are the public crawl-canon
+ones, not reference parity).
+
+Everything is a chain of regexp/replace column expressions — pure JVM
+whole-stage codegen, zero shuffles, and every pattern is restricted to
+the Java-regex ∩ RE2 common subset (no backrefs, no lookaround,
+inline ``(?is)`` flags only) so the DuckDB oracle replays the
+extraction rule-for-rule:
+
+1. drop ``<script>``/``<style>`` blocks (their text is code, not prose),
+2. drop ``<!-- comments -->``,
+3. replace every remaining tag with a space,
+4. decode the six core entities (``&amp;`` LAST, so ``&amp;lt;``
+   correctly yields literal ``&lt;`` rather than ``<``),
+5. collapse ``[ \\t\\n\\r]+`` runs and trim.
+
+``<title>`` text is captured before stripping; like any plain
+tag-strip, the title text also remains in the body text.
+
+At 100 TB this is the cheapest possible shape: a map-only projection
+fused into the parquet/Iceberg scan, no exchange anywhere; link
+extraction adds one generator (explode) per page, still shuffle-free
+until the consumer aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"(?s)<[^>]*>"
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_HREF_RE = r'(?is)<a\b[^>]*\bhref="([^"]*)"'
+
+# decode order is part of the contract: &amp; must come last
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_col(html) -> F.Column:
+    """Visible-text column expression for an html string column."""
+    t = F.regexp_replace(html, _SCRIPT_RE, " ")
+    t = F.regexp_replace(t, _STYLE_RE, " ")
+    t = F.regexp_replace(t, _COMMENT_RE, " ")
+    t = F.regexp_replace(t, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"[ \t\n\r]+", " "))
+
+
+def title_col(html) -> F.Column:
+    """First ``<title>`` text, entity-decoded and whitespace-collapsed;
+    '' when the page has none (regexp_extract's no-match value in both
+    Spark and DuckDB)."""
+    t = F.regexp_extract(html, _TITLE_RE, 1)
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"[ \t\n\r]+", " "))
+
+
+def extract_visible_text(pages: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, title, text, n_links): the strip pipeline above plus a
+    link count — one map-only projection."""
+    h = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        title_col(h).alias("title"),
+        strip_html_col(h).alias("text"),
+        F.regexp_count(h, F.lit(_HREF_RE)).cast("long").alias("n_links"),
+    )
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, link_pos, href): every ``<a href="...">`` target in
+    document order (1-based) — the outlink table a link-graph /
+    PageRank stage consumes. Map-only + one generator; no shuffle."""
+    h = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.regexp_extract_all(h, F.lit(_HREF_RE), 1)).alias(
+            "p0", "href"
+        ),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("link_pos"), "href")

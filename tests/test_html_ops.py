@@ -1,0 +1,58 @@
+"""HTML boilerplate strip / link extraction (ops/html.py)."""
+
+import pytest
+
+from searchengine_spark.ops.html import extract_links, extract_visible_text
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def test_strip_script_style_comment_tags(spark):
+    html = (
+        "<html><head><title> My  Title </title>"
+        "<style>body { color: red; }</style></head>"
+        "<body><!-- secret <b>x</b> -->"
+        "<script>var a = 1 < 2 && b > 3;</script>"
+        "<h1>Hello</h1><p>world   again</p></body></html>"
+    )
+    out = extract_visible_text(_pages(spark, [(1, html)])).collect()[0]
+    assert out["title"] == "My Title"
+    assert out["text"] == "My Title Hello world again"
+    assert out["n_links"] == 0
+
+
+def test_entity_decode_order(spark):
+    # &amp;lt; must decode to literal "&lt;", not "<" (amp LAST)
+    html = "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; x&nbsp;y &amp;amp; &amp;lt; z</p>"
+    out = extract_visible_text(_pages(spark, [(1, html)])).collect()[0]
+    assert out["text"] == 'a <b> "c" \'d\' x y &amp; &lt; z'
+
+
+def test_case_insensitive_and_multiline_blocks(spark):
+    html = "<BODY><SCRIPT type='x'>\nmulti\nline < junk\n</SCRIPT>ok</BODY>"
+    out = extract_visible_text(_pages(spark, [(1, html)])).collect()[0]
+    assert out["text"] == "ok"
+
+
+def test_no_title_no_links(spark):
+    out = extract_visible_text(_pages(spark, [(1, "<p>just text</p>")])).collect()[0]
+    assert out["title"] == ""
+    assert out["text"] == "just text"
+    assert out["n_links"] == 0
+
+
+def test_extract_links_in_order(spark):
+    html = (
+        '<a href="http://a/1">one</a><p>mid</p>'
+        '<A HREF="http://b/2">two</A><a id="x" href="http://c/3">three</a>'
+    )
+    rows = extract_links(_pages(spark, [(7, html)])).collect()
+    assert [(r["doc_id"], r["link_pos"], r["href"]) for r in rows] == [
+        (7, 1, "http://a/1"),
+        (7, 2, "http://b/2"),
+        (7, 3, "http://c/3"),
+    ]
+    out = extract_visible_text(_pages(spark, [(7, html)])).collect()[0]
+    assert out["n_links"] == 3
