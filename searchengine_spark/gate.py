@@ -2545,6 +2545,94 @@ def html_links(spark, sf_dir):
     return extract_links(_synth_html(load_table(spark, sf_dir, "documents")))
 
 
+def _synth_edges(docs, n: int):
+    """Deterministic doc-level link graph from doc_id mods: every doc
+    links to (7·id+3) mod n; even docs add (13·id+5) mod n; self-loops
+    dropped. A fixture for the graph operators — production edges come
+    from ops.html.extract_links resolved through a url→doc_id map."""
+    d = F.col("doc_id").cast("long")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 3) % n).alias("dst"))
+    e2 = docs.filter(d % 2 == 0).select(
+        d.alias("src"), ((d * 13 + 5) % n).alias("dst")
+    )
+    return e1.union(e2).filter(F.col("src") != F.col("dst"))
+
+
+_SQL_EDGES_CTES = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT doc_id::BIGINT AS src, (doc_id * 7 + 3) % n AS dst
+  FROM documents, nn WHERE (doc_id * 7 + 3) % n <> doc_id
+  UNION ALL
+  SELECT doc_id::BIGINT, (doc_id * 13 + 5) % n FROM documents, nn
+  WHERE doc_id % 2 = 0 AND (doc_id * 13 + 5) % n <> doc_id
+)
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point power-method CTE chain — the SQL twin of
+    ops.linkgraph.pagerank_fixedpoint (SCALE=2^40, damping 85/100,
+    all int64 // arithmetic, bit-identical by construction)."""
+    from .ops.linkgraph import DAMP_DEN, DAMP_NUM, SCALE
+
+    keep = DAMP_DEN - DAMP_NUM
+    sql = _SQL_EDGES_CTES + f"""
+, nodes AS (SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges),
+nv AS (SELECT count(*)::BIGINT AS v FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, ({SCALE} // v)::BIGINT AS r FROM nodes, nv)
+"""
+    for i in range(1, iters + 1):
+        sql += f"""
+, c{i} AS (SELECT e.dst AS node, sum(r.r // o.od)::BIGINT AS s
+           FROM edges e JOIN r{i-1} r ON r.node = e.src
+           JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+         (({keep} * ({SCALE} // v)) // {DAMP_DEN}
+          + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN})::BIGINT AS r
+         FROM nodes n LEFT JOIN c{i} c USING (node), nv)
+"""
+    return sql + f"\nSELECT node, r AS rank_fp FROM r{iters}\n"
+
+
+@register("graph_pagerank", _pagerank_oracle_sql(3))
+def graph_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (3 power-method steps, SCALE=2^40,
+    damping 85/100) over the synthetic doc-level link graph. int64 //
+    arithmetic is order-independent, so Spark and the unrolled-CTE
+    oracle agree bit-for-bit — no float-tie hazard in the gate."""
+    from .ops.linkgraph import pagerank_fixedpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _synth_edges(docs, docs.count())
+    return pagerank_fixedpoint(edges, iters=3)
+
+
+@register(
+    "graph_degrees",
+    _SQL_EDGES_CTES
+    + """
+, o AS (SELECT src AS node, count(*)::BIGINT AS out_degree
+        FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*)::BIGINT AS in_degree
+      FROM edges GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(i.in_degree, 0)::BIGINT AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
+""",
+)
+def graph_degrees(spark, sf_dir):
+    """Out/in-degree rollup of the link graph (crawl-frontier and
+    hub/authority priors)."""
+    from .ops.linkgraph import degree_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return degree_stats(_synth_edges(docs, docs.count()))
+
+
 # ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
@@ -2609,6 +2697,8 @@ _BEYOND_BUDGET = (
     "dedup_cluster_corpus",
     "html_extract",
     "html_links",
+    "graph_pagerank",
+    "graph_degrees",
 )
 
 
