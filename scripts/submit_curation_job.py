@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--bucket-cap", type=int, default=10_000)
     ap.add_argument("--num-hashes", type=int, default=8)
     ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--cluster-dedup", action="store_true",
+                    help="resolve verified pairs to connected components "
+                         "and keep one representative per cluster")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +65,7 @@ def main() -> None:
         bands=args.bands,
         bucket_cap=args.bucket_cap,
         jaccard_threshold=args.jaccard_threshold,
+        cluster_dedup=args.cluster_dedup,
         sample_rates=json.loads(args.rates) if args.rates else None,
     )
     docs = spark.read.parquet(args.docs_parquet)

@@ -42,6 +42,11 @@ class CurationConfig:
     bands: int = 4
     bucket_cap: int = 10_000
     jaccard_threshold: float = 0.5
+    # resolve verified pairs to connected components and keep one rep
+    # per CLUSTER (ops.dedup.dedup_cluster_filter) instead of the
+    # greedy drop-every-doc_b policy; costs O(log diameter) extra
+    # label-propagation rounds over the pair set only
+    cluster_dedup: bool = False
     # quality/repetition thresholds (ppm = parts per million of n-grams)
     max_top2_ppm: int = 200_000
     max_dup2_ppm: int = 200_000
@@ -138,7 +143,12 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
     ).cache()
     n_cand = cand.count()
     pairs = jaccard_verify(cur, cand, threshold=cfg.jaccard_threshold)
-    cur, n = advance(cur, dedup_filter(cur, pairs))
+    if cfg.cluster_dedup:
+        from ..ops.dedup import dedup_cluster_filter
+
+        cur, n = advance(cur, dedup_cluster_filter(cur, pairs))
+    else:
+        cur, n = advance(cur, dedup_filter(cur, pairs))
     cand.unpersist()
     cfg.record("near_dedup", t0, n_candidates=n_cand, n_kept=n)
 

@@ -370,6 +370,33 @@ def test_run_curation_end_to_end(spark):
     assert s["sample"]["n_kept"] == 2
 
 
+def test_run_curation_cluster_dedup_option(spark):
+    from searchengine_spark.pipeline.curation import (
+        CurationConfig,
+        run_curation,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on quiet green hills near town")
+    # 1 and 3 are both near-dups of 5 (greedy drops only 5's partners
+    # that appear as doc_b: 3 and 5; cluster mode keeps exactly min=1)
+    rows = [
+        (1, base + " one", "en"),
+        (3, base + " two", "en"),
+        (5, base, "en"),
+        (9, "completely unrelated prose about winter mountains and "
+            "long journeys across the frozen northern plains", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    greedy = {r["doc_id"]
+              for r in run_curation(docs, CurationConfig()).collect()}
+    clustered = {r["doc_id"]
+                 for r in run_curation(
+                     docs, CurationConfig(cluster_dedup=True)).collect()}
+    assert clustered == {1, 9}
+    assert clustered <= greedy
+
+
 def test_run_curation_without_optional_stages(spark):
     from searchengine_spark.pipeline.curation import (
         CurationConfig,
