@@ -2597,6 +2597,36 @@ r{i} AS (SELECT n.node,
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iters}\n"
 
 
+_HOSTPORT_SQL = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+@register(
+    "html_inlink_hosts",
+    _SQL_HTML_CTES
+    + f"""
+, links AS (SELECT doc_id, unnest(hrefs) AS href FROM stripped),
+hosted AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(href, '{_HOSTPORT_SQL}', 1)),
+                        ':[0-9]+$', '') AS host
+  FROM links
+)
+SELECT host, count(*)::BIGINT AS n_inlinks,
+       count(DISTINCT doc_id)::BIGINT AS n_source_docs
+FROM hosted WHERE host <> '' GROUP BY host
+""",
+)
+def html_inlink_hosts(spark, sf_dir):
+    """Inbound-authority rollup: target hosts of every extracted link,
+    normalized with the SAME host canon as the URL dedup path, with
+    inlink and distinct-source counts."""
+    from .ops.html import extract_links, inlink_host_stats
+
+    return inlink_host_stats(
+        extract_links(_synth_html(load_table(spark, sf_dir, "documents")))
+    )
+
+
 @register("graph_pagerank", _pagerank_oracle_sql(3))
 def graph_pagerank(spark, sf_dir):
     """Integer fixed-point PageRank (3 power-method steps, SCALE=2^40,
@@ -2697,6 +2727,7 @@ _BEYOND_BUDGET = (
     "dedup_cluster_corpus",
     "html_extract",
     "html_links",
+    "html_inlink_hosts",
     "graph_pagerank",
     "graph_degrees",
 )

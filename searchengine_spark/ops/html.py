@@ -86,6 +86,26 @@ def extract_visible_text(pages: DataFrame, html_col: str = "html",
     )
 
 
+def inlink_host_stats(links: DataFrame) -> DataFrame:
+    """(host, n_inlinks, n_source_docs) over an
+    :func:`extract_links`-shaped table — the inbound-authority rollup a
+    crawl scheduler and a quality prior both read. One partial-agged
+    groupBy on the lowercased, port-stripped target host
+    (``ops.urlstats.url_host`` — same normalization as the URL dedup
+    path, so the two reports join on equal keys)."""
+    from .urlstats import url_host
+
+    return (
+        links.select("doc_id", url_host(F.col("href")).alias("host"))
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.countDistinct("doc_id").cast("long").alias("n_source_docs"),
+        )
+    )
+
+
 def extract_links(pages: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id") -> DataFrame:
     """(doc_id, link_pos, href): every ``<a href="...">`` target in

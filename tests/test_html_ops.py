@@ -43,6 +43,22 @@ def test_no_title_no_links(spark):
     assert out["n_links"] == 0
 
 
+def test_inlink_host_stats(spark):
+    from searchengine_spark.ops.html import inlink_host_stats
+
+    html1 = ('<a href="http://A.com:80/x">1</a>'
+             '<a href="https://a.com/y">2</a>'
+             '<a href="relative/no-host">skipped</a>')
+    html2 = '<a href="http://a.com/z">3</a><a href="http://b.org/w">4</a>'
+    from searchengine_spark.ops.html import extract_links
+
+    links = extract_links(_pages(spark, [(1, html1), (2, html2)]))
+    got = {r["host"]: (r["n_inlinks"], r["n_source_docs"])
+           for r in inlink_host_stats(links).collect()}
+    # case + port normalized like the url dedup path; relative hrefs drop
+    assert got == {"a.com": (3, 2), "b.org": (1, 1)}
+
+
 def test_extract_links_in_order(spark):
     html = (
         '<a href="http://a/1">one</a><p>mid</p>'

@@ -85,22 +85,26 @@ def main() -> None:
             pagerank_fixedpoint(_edges(s, 10_000), iters=3).count()
             duplicate_clusters(_pairs(s, 10_000)).count()
 
-            e = _edges(s, n_pr)
-            counts["n_edges"] = e.count()
-            t0 = time.time()
-            pagerank_fixedpoint(e, iters=3).count()
-            walls["pagerank"][cores].append(time.time() - t0)
+            if n_pr > 0:  # size 0 skips the op (single-op reruns)
+                e = _edges(s, n_pr)
+                counts["n_edges"] = e.count()
+                t0 = time.time()
+                pagerank_fixedpoint(e, iters=3).count()
+                walls["pagerank"][cores].append(time.time() - t0)
 
-            p = _pairs(s, n_cc)
-            counts["n_pairs"] = p.count()
-            t0 = time.time()
-            counts["n_clustered_nodes"] = duplicate_clusters(p).count()
-            walls["cc"][cores].append(time.time() - t0)
+            if n_cc > 0:
+                p = _pairs(s, n_cc)
+                counts["n_pairs"] = p.count()
+                t0 = time.time()
+                counts["n_clustered_nodes"] = duplicate_clusters(p).count()
+                walls["cc"][cores].append(time.time() - t0)
             s.stop()
 
     out = {"n_nodes_pagerank": n_pr, "n_nodes_cc": n_cc, "trials": trials,
            "selection": f"best_of_{trials}_interleaved", **counts}
     for op, per_core in walls.items():
+        if not per_core[CORES_N]:
+            continue
         best = {c: min(ws) for c, ws in per_core.items()}
         rows = counts["n_edges"] if op == "pagerank" else counts["n_pairs"]
         thr = {c: rows / w for c, w in best.items()}
