@@ -2598,6 +2598,52 @@ r{i} AS (SELECT n.node,
 
 
 _HOSTPORT_SQL = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_ANCHOR_SQL = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>'
+
+
+@register(
+    "html_anchor_terms",
+    _SQL_HTML_CTES
+    + f"""
+, al AS (SELECT doc_id,
+           regexp_extract_all(html, '{_ANCHOR_SQL}', 1) AS hs,
+           regexp_extract_all(html, '{_ANCHOR_SQL}', 2) AS an
+         FROM pages),
+lh AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos,
+              unnest(hs) AS href FROM al),
+la AS (SELECT doc_id, generate_subscripts(an, 1) AS pos,
+              unnest(an) AS anchor FROM al),
+pairs_a AS (
+  SELECT lh.doc_id,
+         regexp_replace(lower(regexp_extract(lh.href,
+           '{_HOSTPORT_SQL}', 1)), ':[0-9]+$', '') AS host,
+         trim(regexp_replace("""
+    + _sql_entity_decode(
+        r"regexp_replace(la.anchor, '(?s)<[^>]*>', ' ', 'g')"
+    )
+    + r""", '[ \t\n\r]+', ' ', 'g')) AS anchor
+  FROM lh JOIN la ON lh.doc_id = la.doc_id AND lh.pos = la.pos
+),
+aterms AS (
+  SELECT doc_id, host, unnest(regexp_extract_all(lower(anchor),
+         '[a-z0-9]+')) AS term
+  FROM pairs_a WHERE host <> ''
+)
+SELECT host, term, count(*)::BIGINT AS n_links,
+       count(DISTINCT doc_id)::BIGINT AS n_source_docs
+FROM aterms GROUP BY host, term
+""",
+)
+def html_anchor_terms(spark, sf_dir):
+    """Anchor-text index: visible anchor terms aggregated per TARGET
+    host (count + distinct sources) — the off-page relevance signal.
+    The oracle replays capture-group extraction, position zip, anchor
+    cleanup, tokenization, and the rollup."""
+    from .ops.html import anchor_term_stats, extract_anchors
+
+    return anchor_term_stats(
+        extract_anchors(_synth_html(load_table(spark, sf_dir, "documents")))
+    )
 
 
 @register(
@@ -2728,6 +2774,7 @@ _BEYOND_BUDGET = (
     "html_extract",
     "html_links",
     "html_inlink_hosts",
+    "html_anchor_terms",
     "graph_pagerank",
     "graph_degrees",
 )

@@ -86,6 +86,67 @@ def extract_visible_text(pages: DataFrame, html_col: str = "html",
     )
 
 
+_ANCHOR_RE = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, link_pos, href, anchor): every closed ``<a href>``
+    element with its VISIBLE anchor text (nested tags stripped,
+    entities decoded, whitespace collapsed — the same cleanup chain as
+    the body text). Anchor text is the classic off-page relevance
+    signal: it describes the TARGET, so an anchor-term index keyed by
+    target is what web ranking actually joins against.
+
+    Both capture groups come from one pattern evaluated twice (group 1
+    then group 2) — the arrays are equal-length by construction and
+    zipped row-locally; still map-only + one generator. Unterminated
+    ``<a>`` elements don't match (no ``</a>``), so this can emit fewer
+    rows than :func:`extract_links`, whose pattern doesn't require the
+    close."""
+    h = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 1)
+    anchors = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 2)
+    z = pages.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(F.arrays_zip(hrefs.alias("href"),
+                                  anchors.alias("anchor"))).alias("p0", "z"),
+    )
+    raw = F.col("z.anchor")
+    cleaned = F.regexp_replace(raw, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"[ \t\n\r]+", " "))
+    return z.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("link_pos"),
+        F.col("z.href").alias("href"),
+        cleaned.alias("anchor"),
+    )
+
+
+def anchor_term_stats(anchors: DataFrame) -> DataFrame:
+    """(host, term, n_links, n_source_docs): anchor terms aggregated
+    per TARGET host — the anchor-text index a web ranker joins at
+    query time. One groupBy after a row-local token explode."""
+    from ..indexing.simple import token_array
+    from .urlstats import url_host
+
+    return (
+        anchors.select(
+            "doc_id",
+            url_host(F.col("href")).alias("host"),
+            F.explode(token_array(F.col("anchor"))).alias("term"),
+        )
+        .filter(F.col("host") != "")
+        .groupBy("host", "term")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_source_docs"),
+        )
+    )
+
+
 def inlink_host_stats(links: DataFrame) -> DataFrame:
     """(host, n_inlinks, n_source_docs) over an
     :func:`extract_links`-shaped table — the inbound-authority rollup a

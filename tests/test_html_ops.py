@@ -59,6 +59,36 @@ def test_inlink_host_stats(spark):
     assert got == {"a.com": (3, 2), "b.org": (1, 1)}
 
 
+def test_extract_anchors_cleanup_and_pairing(spark):
+    from searchengine_spark.ops.html import extract_anchors
+
+    html = (
+        '<a href="http://a/1"> click  <b>here</b> &amp; now </a>'
+        '<a href="http://b/2">two</a>'
+        '<a href="http://c/3">unterminated'
+    )
+    rows = extract_anchors(_pages(spark, [(1, html)])).collect()
+    assert [(r["link_pos"], r["href"], r["anchor"]) for r in rows] == [
+        (1, "http://a/1", "click here & now"),
+        (2, "http://b/2", "two"),
+    ]
+
+
+def test_anchor_term_stats(spark):
+    from searchengine_spark.ops.html import anchor_term_stats, extract_anchors
+
+    pages = _pages(spark, [
+        (1, '<a href="http://X.com/a">Best Spark guide</a>'),
+        (2, '<a href="http://x.com/b">spark tips</a>'
+            '<a href="http://y.org/c">other</a>'),
+    ])
+    got = {(r["host"], r["term"]): (r["n_links"], r["n_source_docs"])
+           for r in anchor_term_stats(extract_anchors(pages)).collect()}
+    assert got[("x.com", "spark")] == (2, 2)
+    assert got[("x.com", "best")] == (1, 1)
+    assert got[("y.org", "other")] == (1, 1)
+
+
 def test_extract_links_in_order(spark):
     html = (
         '<a href="http://a/1">one</a><p>mid</p>'
