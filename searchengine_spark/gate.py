@@ -2597,6 +2597,39 @@ r{i} AS (SELECT n.node,
     return sql + f"\nSELECT node, r AS rank_fp FROM r{iters}\n"
 
 
+@register(
+    "docsim_cosine",
+    SQL_PREFIX
+    + """
+, kept AS (SELECT term FROM postings GROUP BY term
+           HAVING count(*) <= 100),
+w AS (SELECT p.doc_id, p.term, 1.0 + ln(p.tftd) AS w
+      FROM postings p JOIN kept USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       floor(d.dot / (na.norm * nb.norm) * 1e6)::BIGINT AS cosine_e6
+FROM dots d JOIN norms na ON na.doc_id = d.doc_a
+            JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE d.dot / (na.norm * nb.norm) >= 0.5
+""",
+)
+def docsim_cosine(spark, sf_dir):
+    """Exact sparse-cosine similar-document pairs over df-capped
+    (≤100) ln-weighted terms, threshold 0.5 — the lexical similarity
+    join; candidate volume bounded by the df cap (see ops/docsim.py)."""
+    from .ops.docsim import sparse_cosine_pairs
+
+    out = sparse_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), max_df=100, threshold=0.5
+    )
+    return out.select("doc_a", "doc_b", _e6(F.col("cosine")).alias("cosine_e6"))
+
+
 _HOSTPORT_SQL = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _ANCHOR_SQL = r'(?is)<a\b[^>]*\bhref="([^"]*)"[^>]*>(.*?)</a>'
 
@@ -2775,6 +2808,7 @@ _BEYOND_BUDGET = (
     "html_links",
     "html_inlink_hosts",
     "html_anchor_terms",
+    "docsim_cosine",
     "graph_pagerank",
     "graph_degrees",
 )
