@@ -2598,6 +2598,36 @@ r{i} AS (SELECT n.node,
 
 
 @register(
+    "cooccur_pmi",
+    SQL_PREFIX
+    + """
+, co AS (SELECT t1.term AS term_a, t2.term AS term_b,
+                count(*)::BIGINT AS n_cooc
+         FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id
+           AND t2.pos - t1.pos BETWEEN 1 AND 2
+         GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+tot AS (SELECT sum(n)::BIGINT AS N FROM uni)
+SELECT c.term_a, c.term_b, c.n_cooc,
+       floor(ln((c.n_cooc * t.N)::DOUBLE / (ua.n * ub.n)) * 1e6)::BIGINT
+         AS pmi_e6
+FROM co c JOIN uni ua ON ua.term = c.term_a
+          JOIN uni ub ON ub.term = c.term_b, tot t
+""",
+)
+def cooccur_pmi(spark, sf_dir):
+    """Directional window-2 co-occurrence PMI with min_count 5 —
+    collocation/phrase-mining stats. Counts are exact integers; the
+    single float (the final ln) is e6-quantized at the boundary."""
+    from .ops.cooccur import pmi_table
+
+    out = pmi_table(load_table(spark, sf_dir, "documents"),
+                    window=2, min_count=5)
+    return out.select("term_a", "term_b", "n_cooc",
+                      _e6(F.col("pmi")).alias("pmi_e6"))
+
+
+@register(
     "docsim_cosine",
     SQL_PREFIX
     + """
@@ -2809,6 +2839,7 @@ _BEYOND_BUDGET = (
     "html_inlink_hosts",
     "html_anchor_terms",
     "docsim_cosine",
+    "cooccur_pmi",
     "graph_pagerank",
     "graph_degrees",
 )
