@@ -2598,6 +2598,43 @@ r{i} AS (SELECT n.node,
 
 
 @register(
+    "text_bigram_logprob",
+    SQL_PREFIX
+    + """
+, trans AS (SELECT t1.doc_id, t1.term AS a, t2.term AS b
+            FROM tok t1 JOIN tok t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+uni AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY term),
+tot AS (SELECT sum(n)::DOUBLE AS N FROM uni),
+big AS (SELECT a, b, count(*)::BIGINT AS nab FROM trans GROUP BY a, b),
+scored AS (
+  SELECT tr.doc_id,
+         ln(0.9 * g.nab / ua.n + 0.1 * ub.n / t.N) AS lp
+  FROM trans tr JOIN big g ON g.a = tr.a AND g.b = tr.b
+       JOIN uni ua ON ua.term = tr.a
+       JOIN uni ub ON ub.term = tr.b, tot t
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.mlp_e6
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         floor(avg(lp) * 1e6)::BIGINT AS mlp_e6
+  FROM scored GROUP BY doc_id) s ON s.doc_id = d.doc_id
+""",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM mean transition logprob per doc
+    (0.9·ML + 0.1·unigram back-off) — the second-order CCNet-style
+    quality signal; exact-count model, e6-quantized mean."""
+    from .ops.textstats import bigram_logprob
+
+    out = bigram_logprob(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_bigrams", _e6(F.col("mean_logprob")).alias("mlp_e6")
+    )
+
+
+@register(
     "cooccur_pmi",
     SQL_PREFIX
     + """
@@ -2840,6 +2877,7 @@ _BEYOND_BUDGET = (
     "html_anchor_terms",
     "docsim_cosine",
     "cooccur_pmi",
+    "text_bigram_logprob",
     "graph_pagerank",
     "graph_degrees",
 )

@@ -115,6 +115,72 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return feats.withColumn("quality_pass", passes)
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob): mean transition
+    log-probability under the corpus's OWN interpolated bigram model —
+    the second-order companion to :func:`unigram_logprob` (CCNet-style
+    LM filtering): p(b|a) = 0.9·count(ab)/count(a) + 0.1·count(b)/N,
+    the rational 9/10–1/10 interpolation guaranteeing every transition
+    has mass (no OOV-pair −inf) while staying a deterministic function
+    of exact integer counts. Repetitive boilerplate scores HIGH and
+    incoherent token soup scores LOW even when the unigram mix looks
+    normal — the two scores separate different failure modes.
+
+    Shape: bigram extraction is the row-local shifted-array zip (no
+    positional self-join, see ops/cooccur.py); the model tables are
+    one groupBy(a,b) and one groupBy(term); scoring joins transitions
+    to both tables (sort-merge at corpus scale) and takes one
+    groupBy(doc_id) mean. Docs with <2 tokens emit n_bigrams=0 with a
+    NULL mean (nothing to score).
+    """
+    ts = token_array(F.col(text_col))
+    zipped = F.arrays_zip(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))).alias("a"),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("b"),
+    )
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       zipped.alias("z"))
+    trans = base.select(
+        "doc_id", F.explode("z").alias("p")
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+    tok = docs.select(F.explode(ts).alias("term"))
+    n_total = tok.count()
+    uni = tok.groupBy("term").agg(F.count("*").alias("n"))
+    big = trans.groupBy("a", "b").agg(F.count("*").alias("nab"))
+
+    scored = (
+        trans.hint("merge")
+        .join(big.hint("merge"), ["a", "b"])
+        .join(uni.select(F.col("term").alias("a"),
+                         F.col("n").alias("na")).hint("merge"), "a")
+        .join(uni.select(F.col("term").alias("b"),
+                         F.col("n").alias("nb")).hint("merge"), "b")
+        .select(
+            "doc_id",
+            F.log(
+                0.9 * F.col("nab") / F.col("na")
+                + 0.1 * F.col("nb") / F.lit(float(n_total))
+            ).alias("lp"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(
+            scored.groupBy("doc_id").agg(
+                F.count("*").cast("long").alias("n_bigrams"),
+                F.avg("lp").alias("mean_logprob"),
+            ),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, mean_logprob): mean token log-probability
     under the corpus's OWN unigram language model — the classic

@@ -33,6 +33,23 @@ def test_windowed_pairs_matches_python(spark):
     assert got == dict(_py_pairs(texts, 2))
 
 
+def test_bigram_logprob_values(spark):
+    from searchengine_spark.ops.textstats import bigram_logprob
+
+    # corpus: "a b" x2, "a c", "z"; N=7 tokens, n(a)=3, n(b)=2, n(c)=1,
+    # nab(a,b)=2, nab(a,c)=1
+    texts = ["a b", "a b", "a c", "z"]
+    out = {r["doc_id"]: r for r in bigram_logprob(_docs(spark, texts)).collect()}
+    lp_ab = math.log(0.9 * 2 / 3 + 0.1 * 2 / 7)
+    lp_ac = math.log(0.9 * 1 / 3 + 0.1 * 1 / 7)
+    assert out[0]["n_bigrams"] == 1
+    assert abs(out[0]["mean_logprob"] - lp_ab) < 1e-12
+    assert abs(out[2]["mean_logprob"] - lp_ac) < 1e-12
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] is None
+    # repetitive text scores higher than novel transitions
+    assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
+
+
 def test_pmi_values(spark):
     from searchengine_spark.ops.cooccur import pmi_table
 
