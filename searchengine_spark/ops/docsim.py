@@ -55,11 +55,23 @@ def doc_term_weights(docs: DataFrame, text_col: str = "text",
 
 
 def sparse_cosine_pairs(docs: DataFrame, text_col: str = "text",
-                        max_df: int = 100,
-                        threshold: float = 0.5) -> DataFrame:
+                        max_df: int = 100, threshold: float = 0.5,
+                        materialize: bool = True) -> DataFrame:
     """(doc_a, doc_b, cosine) for all pairs with exact pruned-space
-    cosine ≥ threshold, doc_a < doc_b."""
+    cosine ≥ threshold, doc_a < doc_b.
+
+    ``materialize`` localCheckpoints the weights table first: the
+    weights subtree feeds BOTH self-join sides, and without
+    materialization Catalyst duplicates the whole
+    tokenize→explode→aggregate pipeline per consumer (8 scans in the
+    static plan — measured; AQE's exchange reuse recovers some at
+    runtime, but re-tokenizing a 100 TB corpus even twice is the
+    dominant cost). Same eager-truncation pattern as
+    ops.dedup.duplicate_clusters; pass False to keep the plan lazy
+    (tiny inputs, or when the caller materializes w itself)."""
     w = doc_term_weights(docs, text_col, max_df)
+    if materialize:
+        w = w.localCheckpoint()
     a = w.select(F.col("doc_id").alias("doc_a"), "term",
                  F.col("w").alias("wa"), F.col("norm").alias("na"))
     b = w.select(F.col("doc_id").alias("doc_b"), "term",
