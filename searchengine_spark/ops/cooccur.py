@@ -53,7 +53,10 @@ def pmi_table(docs: DataFrame, text_col: str = "text", window: int = 2,
     from ..indexing.simple import simple_tokens
 
     tok = simple_tokens(docs, text_col=text_col)
-    uni = tok.groupBy("term").agg(F.count("*").alias("n"))
+    # vocabulary-sized: materialize once so N and both joins read the
+    # same table instead of re-tokenizing the corpus per consumer
+    # (plan audit: 4 corpus scans without this, 2 with — see PERF.md)
+    uni = tok.groupBy("term").agg(F.count("*").alias("n")).localCheckpoint()
     n_total = uni.agg(F.sum("n").alias("N"))
     pairs = windowed_pairs(docs, text_col, window).filter(
         F.col("n_cooc") >= min_count

@@ -145,8 +145,11 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
 
     tok = docs.select(F.explode(ts).alias("term"))
-    n_total = tok.count()
-    uni = tok.groupBy("term").agg(F.count("*").alias("n"))
+    # vocabulary-sized: one tokenize pass feeds counts AND N (the
+    # transitions table stays lazy — re-deriving it beats writing a
+    # corpus-sized checkpoint; see PERF.md plan audit)
+    uni = tok.groupBy("term").agg(F.count("*").alias("n")).localCheckpoint()
+    n_total = uni.agg(F.sum("n")).collect()[0][0]
     big = trans.groupBy("a", "b").agg(F.count("*").alias("nab"))
 
     scored = (
