@@ -203,6 +203,32 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
     )
 
 
+def dedup_stream(pages_stream: DataFrame, text_col: str = "text",
+                 ts_col: str = "warc_ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival of each distinct
+    ``text_col`` body, dropping re-crawls/mirrors as they stream in —
+    the ingest-side twin of ops.dedup.exact_duplicates (which dedups a
+    corpus at rest; this op keeps the corpus deduped as it lands).
+
+    Built on ``dropDuplicatesWithinWatermark`` over the md5 of the
+    body: duplicate arrivals within the event-time watermark window
+    are dropped, and the dedup state for a key is reclaimed once the
+    watermark passes it — bounded state, which is what makes this
+    viable on an unbounded 100 TB/day crawl (an unbounded-state
+    dropDuplicates would OOM; a wider watermark trades memory for a
+    longer dedup horizon, and anything beyond the horizon is caught by
+    the batch dedup in the curation pipeline). State is hash-partitioned
+    by key across executors like any stateful streaming op."""
+    return (
+        pages_stream
+        .withColumn("_text_md5", F.md5(F.col(text_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_md5"])
+        .drop("_text_md5")
+    )
+
+
 def ingestion_stats(pages_stream: DataFrame,
                     watermark: str = "2 minutes",
                     window: str = "1 minute") -> DataFrame:
