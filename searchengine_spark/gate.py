@@ -1553,15 +1553,22 @@ nv AS (
   SELECT w.doc_id, w.term, w.wdt / l.ld AS v
   FROM wdt w JOIN ld l USING (doc_id)
 ),
+ndocs AS (SELECT count(*)::DOUBLE AS n FROM documents),
+kept AS (
+  SELECT term FROM (SELECT term, count(*)::DOUBLE AS df FROM tfd GROUP BY 1)
+  CROSS JOIN ndocs WHERE df <= 0.9 * n
+),
+nvk AS (SELECT nv.* FROM nv JOIN kept USING (term)),
 dots AS (
   SELECT a.doc_id AS doc_id, b.doc_id AS t_id, sum(a.v * b.v) AS dot
-  FROM nv a JOIN nv b ON a.term = b.term AND a.doc_id <> b.doc_id
+  FROM nvk a JOIN nvk b ON a.term = b.term AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 ),
 nn AS (
-  SELECT doc_id, t_id, 2 - 2 * dot AS dist2,
+  SELECT doc_id, t_id, floor((2 - 2 * dot) * 1e6)::BIGINT AS dist2,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY 2 - 2 * dot ASC, t_id ASC) AS rn
+                            ORDER BY floor((2 - 2 * dot) * 1e6)::BIGINT ASC,
+                                     t_id ASC) AS rn
   FROM dots
 ),
 votes AS (
@@ -1579,11 +1586,18 @@ SELECT doc_id, cls AS pred_class FROM (
 )
 def classify_knn(spark, sf_dir):
     """C4: 5-NN majority-vote prediction (resubstitution, self
-    excluded)."""
+    excluded), with the df-cap that bounds the term self-join at scale
+    (max_df=0.9 of the train count — on Zipfian web text this drops the
+    stopword head that would otherwise fan out all-pairs; the synthetic
+    gate vocabulary is uniformly mid-df, so here the cap keeps every
+    term and the result equals the uncapped reference prediction —
+    binding-cap behavior is pytest-covered on a planted-stopword
+    corpus in tests/test_ops.py). Neighbor ranks use the e6-quantized
+    distance (cross-engine float-tie hazard — see knn_classify)."""
     from .ops.classify import knn_classify
 
     docs = load_table(spark, sf_dir, "documents")
-    return knn_classify(docs, docs, k=5)
+    return knn_classify(docs, docs, k=5, max_df=0.9, quantize=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2852,6 +2866,20 @@ _DEMOTED = (
     "rank_default_pruned",
     "sim_lsh_buckets",
     "bool_and_missing_term",
+    # round-4 rotation: these ten were in the checked-50 window through
+    # r03 (each green in CORRECTNESS_r01–r03); rotated out so the window
+    # samples every operator family (VERDICT r03 item 4). Each remains
+    # covered by a same-code-path head entry + pytest + check_gate:
+    "index_term_stats_salted",  # skew demo; vocabulary/postings cover data
+    "bool_and_not",             # '-' path exercised inside bool_mixed
+    "phrase_3",                 # phrase merge covered by phrase_2 + phrase_quirky
+    "rank_tfidf",               # S2 weights; same rank_topk plan as rank_bm25;
+    "rank_wacky",               # S4 weights; all 4 strategies Cranfield-parity
+    "rank_bm25_missing_term",   # degenerate-term path, = bool_and_missing_term
+    "dedup_filtered_corpus",    # ACTION twin of dedup_jaccard (which stays)
+    "dedup_embedding",          # multi-table variant of sim_ann (which stays)
+    "events_windowed",          # events family kept via events_sessionized
+    "ref_boolean_mixed",        # analyzer replay kept via ref_bm25_topk
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
@@ -2859,26 +2887,21 @@ _DEMOTED = (
 # set keeps its strongest 50; these are verified by tools/check_gate.py
 # (full-registry replay green at sf0.01) and pytest instead.
 _BEYOND_BUDGET = (
+    # round-4 rotation promoted each family's flagship into the checked
+    # window (decontam_13gram, pii_redact, sample_stratified, url_dedup,
+    # dedup_clusters, html_extract, docsim_cosine, cooccur_pmi,
+    # text_bigram_logprob, graph_pagerank); the remaining same-family
+    # entries stay here, verified by tools/check_gate.py + pytest.
     "text_unigram_logprob",
     "text_repetition",
-    "decontam_13gram",
-    "pii_redact",
-    "sample_stratified",
     "sample_summary",
-    "url_dedup",
     "url_host_stats",
     "dedup_substring",
     "dedup_span_removal",
-    "dedup_clusters",
     "dedup_cluster_corpus",
-    "html_extract",
     "html_links",
     "html_inlink_hosts",
     "html_anchor_terms",
-    "docsim_cosine",
-    "cooccur_pmi",
-    "text_bigram_logprob",
-    "graph_pagerank",
     "graph_degrees",
 )
 

@@ -224,10 +224,13 @@ class IvfIndex:
         * update          per-dim floor(sum / count) (empty cell keeps
                           its previous centroid), ``n_iter`` rounds.
 
-        The seed-rank scan totals a global sort of ids; at warehouse
-        scale you fit on a bounded deterministic sample (e.g. ids
-        below a threshold) and only ASSIGNMENT runs over the full
-        table — same shape as pyspark.ml's ``fit`` vs ``transform``.
+        The seed scan is a distributed rank filter (row_number over
+        ids, keep ranks m·⌊n/k⌋) — only the ≤k seed rows ever reach
+        the driver, never the id column. The rank's global sort is
+        the remaining fit-side scale cost; at warehouse scale you fit
+        on a bounded deterministic sample (e.g. ids below a threshold)
+        and only ASSIGNMENT runs over the full table — same shape as
+        pyspark.ml's ``fit`` vs ``transform``.
         ``IvfIndex.fit`` (pyspark.ml KMeans) remains the
         production-quality quantizer; this variant trades centroid
         quality for cross-engine exactness, which is what a
@@ -238,16 +241,22 @@ class IvfIndex:
             F.col(vec_col).alias(vec_col),
             _scaled_ints(F.col(vec_col)).alias("_xs"),
         ).cache()
-        ids = [r[0] for r in base.select(id_col).orderBy(id_col).collect()]
-        n, k = len(ids), n_centroids
+        from pyspark.sql.window import Window
+
+        n, k = base.count(), n_centroids
         step = max(1, n // k)
-        seed_ids = [ids[m * step] for m in range(k) if m * step < n]
-        seed_rows = {
-            r[0]: [int(v) for v in r[1]]
-            for r in base.filter(F.col(id_col).isin(seed_ids))
-            .select(id_col, "_xs").collect()
-        }
-        cents: list[list[int]] = [seed_rows[i] for i in seed_ids]
+        # distributed seed selection: id-rank m*step for m = 0..k-1 —
+        # only the ≤k seed rows are collected, never the id list
+        rk = F.row_number().over(Window.orderBy(id_col)) - 1
+        seed_rows = [
+            (r[0], [int(v) for v in r[1]])
+            for r in base.select(id_col, "_xs", rk.alias("_rk"))
+            .filter((F.col("_rk") % step == 0) & (F.col("_rk") < k * step))
+            .orderBy("_rk")
+            .collect()
+        ]
+        seed_ids = [i for i, _ in seed_rows]
+        cents: list[list[int]] = [xs for _, xs in seed_rows]
         dim = len(cents[0])
 
         def assign(df: DataFrame) -> DataFrame:

@@ -165,6 +165,54 @@ def test_classifiers_majority_class_sanity(spark, docs):
         assert langs <= {"en", "de", "es", "fr", "zh"}
 
 
+def test_knn_max_df_parity_on_gate_corpus(spark, docs):
+    """The gate's df cap (max_df=0.9 of train count) must not change
+    predictions on the gate corpus: its synthetic vocabulary is
+    uniformly mid-df (every term df ≈ 0.78·N), so the cap keeps every
+    term and the capped run is prediction-identical to the uncapped
+    reference behavior."""
+    from searchengine_spark.ops.classify import knn_classify
+
+    uncapped = {r["doc_id"]: r["pred_class"]
+                for r in knn_classify(docs, docs, k=5).collect()}
+    capped = {r["doc_id"]: r["pred_class"]
+              for r in knn_classify(docs, docs, k=5, max_df=0.9).collect()}
+    assert capped == uncapped
+
+
+def test_knn_max_df_binding_drops_stopword(spark):
+    """When the cap BINDS (planted stopword in every doc), the
+    stopword is excluded from the distance space, the join fan-out
+    shrinks, and predictions still match the uncapped run — the
+    class-signal terms dominate the vote (the docsim rationale: df≈N
+    terms carry no discriminative signal)."""
+    from searchengine_spark.ops.classify import _normalized_vectors, knn_classify
+
+    rows = []
+    for i in range(12):
+        cls = "en" if i % 2 == 0 else "de"
+        signal = ("alpha beta" if cls == "en" else "gamma delta")
+        # 'the' in EVERY doc with varying tf — df = N, the stopword tier
+        rows.append((i, cls, f"{signal} {signal} " + "the " * (1 + i % 3)))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    uncapped = {r["doc_id"]: r["pred_class"]
+                for r in knn_classify(df, df, k=3).collect()}
+    capped = {r["doc_id"]: r["pred_class"]
+              for r in knn_classify(df, df, k=3, max_df=0.9).collect()}
+    assert capped == uncapped
+    assert set(uncapped.values()) == {"en", "de"}
+
+    # the cap genuinely binds: an absolute cap below N excludes 'the'
+    # (df=12) — assert via the absolute-int path too
+    capped_abs = {r["doc_id"]: r["pred_class"]
+                  for r in knn_classify(df, df, k=3, max_df=11).collect()}
+    assert capped_abs == uncapped
+    vocab_df = {r["term"]: r["df"] for r in _normalized_vectors(df)
+                .groupBy("term").agg(F.count("*").alias("df")).collect()}
+    assert vocab_df["the"] == 12  # the planted df=N term the cap drops
+
+
 def test_average_precision_formula():
     from searchengine_spark.eval.metrics import average_precision
 

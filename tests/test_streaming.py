@@ -196,3 +196,92 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         (2, base, base + dt.timedelta(minutes=29), 3),
     }
     assert got == expect
+
+
+def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark over the
+    body md5) must keep exactly the first arrival of each distinct
+    text — i.e. the survivors of ops.dedup.exact_duplicates on the
+    same corpus at rest with arrival-ordered doc_ids — including a
+    duplicate arriving in a LATER micro-batch within the watermark."""
+    import shutil
+    import time as _time
+
+    from searchengine_spark.ops.dedup import exact_duplicates
+    from searchengine_spark.streaming.ingest import dedup_stream
+
+    # batch A: originals 0..9, where page 8 is an IN-batch duplicate of
+    # page 2's text; batch B (later arrivals, within the 10-minute
+    # watermark — warc_ts spacing is 37 s): cross-batch duplicates of
+    # pages 0/3/7 under fresh urls, plus fresh pages 13/14.
+    def page(i, text_of=None):
+        p = make_page(i)
+        if text_of is not None:
+            p = dict(p, text=make_page(text_of)["text"])
+        return p
+
+    rows_a = [page(i) for i in range(8)] + [page(8, text_of=2), page(9)]
+    rows_b = [page(10, text_of=0), page(11, text_of=3), page(12, text_of=7),
+              page(13), page(14)]
+
+    src = str(tmp_path / "src")
+    for sub, rows in (("a", rows_a), ("b", rows_b)):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/{sub}"
+        )
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    for age, sub in ((200, "a"), (100, "b")):
+        for f in sorted(os.listdir(f"{src}/{sub}")):
+            if f.endswith(".parquet"):
+                dst = f"{merged}/{sub}_{f}"
+                shutil.copy(f"{src}/{sub}/{f}", dst)
+                now = _time.time()
+                os.utime(dst, (now - age, now - age))  # a arrives first
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out = str(tmp_path / "deduped")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_urls = {r["url"] for r in spark.read.parquet(out).collect()}
+
+    # batch twin: arrival order == page index (warc_ts = epoch + i*37s),
+    # so exact_duplicates' min-doc_id keep policy == first arrival
+    at_rest = spark.read.parquet(merged).select(
+        ((F.col("warc_ts").cast("long")
+          - F.lit(make_page(0)["warc_ts"]).cast("long")) / 37)
+        .cast("long").alias("doc_id"),
+        "url", "text",
+    )
+    groups = exact_duplicates(at_rest)
+    losers = (
+        at_rest.select(
+            "doc_id", "url",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .join(groups, "text_md5")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+    )
+    batch_urls = {
+        r["url"] for r in at_rest.join(
+            losers.select("doc_id"), "doc_id", "left_anti"
+        ).collect()
+    }
+
+    assert got_urls == batch_urls
+    # the planted duplicates (8 in-batch; 10/11/12 cross-batch) died
+    dead = {make_page(i)["url"] for i in (8, 10, 11, 12)}
+    assert got_urls.isdisjoint(dead)
+    assert make_page(13)["url"] in got_urls and make_page(0)["url"] in got_urls
+    assert len(got_urls) == 11
