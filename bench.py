@@ -500,9 +500,16 @@ def run_wand_crossover(queries: dict, extra: dict) -> None:
         return wand_topk(idx, seg, "hot", 10, normalize=lambda t: t,
                          champion_blocks=8).collect()
 
+    def unsettled(ws: list[float]) -> bool:
+        if len(ws) < 2:
+            return True
+        a, b = sorted(ws)[:2]
+        return b > 1.3 * a
+
     full_walls, wand_walls = [], []
     same = True
-    for _ in range(XOVER_TRIALS):
+    n_trials = 0
+    while True:
         t0 = time.time()
         full = run_full()
         full_walls.append(time.time() - t0)
@@ -513,6 +520,15 @@ def run_wand_crossover(queries: dict, extra: dict) -> None:
             [(r["doc_id"], round(r["score"], 9)) for r in full]
             == [(r["doc_id"], round(r["score"], 9)) for r in pruned]
         )
+        n_trials += 1
+        # spread-extend: r03's committed crossover came from ONE lucky
+        # full-decode trial (4.0 s vs 12-15 s in every other session)
+        if n_trials >= XOVER_TRIALS and (
+            XOVER_TRIALS == 1
+            or n_trials >= XOVER_TRIALS + 2
+            or not (unsettled(full_walls) or unsettled(wand_walls))
+        ):
+            break
 
     t_full, t_wand = min(full_walls), min(wand_walls)
     queries["wand_crossover_full_decode"] = t_full
@@ -521,8 +537,11 @@ def run_wand_crossover(queries: dict, extra: dict) -> None:
         "n_postings": WAND_N,
         "n_blocks": n_blocks,
         "block_span": span,
-        "trials": XOVER_TRIALS,
-        "selection": f"best_of_{XOVER_TRIALS}_interleaved",
+        "trials": n_trials,
+        "selection": (
+            f"best_of_{n_trials}_interleaved"
+            f"(base_{XOVER_TRIALS},spread_extended)"
+        ),
         "full_decode_trials_s": [round(t, 3) for t in full_walls],
         "wand_trials_s": [round(t, 3) for t in wand_walls],
         "full_decode_s": round(t_full, 3),
@@ -583,7 +602,19 @@ def run_main(queries: dict, extra: dict) -> None:
         "index_build_pages": build_pages,
     }
     build_walls: dict[str, list[float]] = {k: [] for k in builds}
-    for _ in range(BUILD_TRIALS):
+
+    def unsettled(ws: list[float]) -> bool:
+        # the two best trials disagree by >30% → the minimum is either
+        # noise-lucky or a burst covered most of the window; buy
+        # another independent trial (VM noise arrives in multi-minute
+        # episodes — r03's committed pages-build was 5× off from one)
+        if len(ws) < 2:
+            return True
+        a, b = sorted(ws)[:2]
+        return b > 1.3 * a
+
+    trial = 0
+    while True:
         for name, fn in builds.items():
             # drop every cached RDD from the previous trial: persist=True
             # builds cache their tokenized intermediate, and letting
@@ -593,6 +624,13 @@ def run_main(queries: dict, extra: dict) -> None:
             t0 = time.time()
             fn()
             build_walls[name].append(time.time() - t0)
+        trial += 1
+        if trial >= BUILD_TRIALS and (
+            BUILD_TRIALS == 1  # fast mode: no extension
+            or trial >= BUILD_TRIALS + 3
+            or not any(unsettled(ws) for ws in build_walls.values())
+        ):
+            break
     for name, ws in build_walls.items():
         queries[name] = min(ws)
     extra["build_trials_s"] = {
@@ -661,7 +699,10 @@ def run_main(queries: dict, extra: dict) -> None:
         if i < 100
     }
 
-    for _ in range(LAT_PASSES):
+    pass_totals: list[float] = []
+    n_passes = 0
+    while True:
+        tp = time.time()
         for q in BM25_QUERIES:
             t0 = time.time()
             rank_topk(ridx, q, "bm25", 10).collect()
@@ -682,6 +723,48 @@ def run_main(queries: dict, extra: dict) -> None:
         t0 = time.time()
         rank_topk_batch(ridx, batch_queries, "bm25", 10).collect()
         batch_walls.append(time.time() - t0)
+        pass_totals.append(time.time() - tp)
+        n_passes += 1
+        # spread-extend like the builds: two quiet passes, or cap
+        if n_passes >= LAT_PASSES and (
+            LAT_PASSES == 1
+            or n_passes >= LAT_PASSES + 2
+            or not unsettled(pass_totals)
+        ):
+            break
+
+    # --- champion lists: static-pruning recall + latency at this SF
+    # (the recall ≥0.9 claim was pytest-only at gate scale through r03;
+    # this records it at the bench corpus alongside WAND's evidence) ---
+    from searchengine_spark.queries.ranked import (
+        champion_lists,
+        rank_topk_champions,
+    )
+
+    champs = champion_lists(ridx, r=64).cache()
+    champs.count()
+    champ_recalls, champ_lat = [], []
+    for q in BM25_QUERIES:
+        exact = [r["doc_id"] for r in rank_topk(ridx, q, "bm25", 10).collect()]
+        t0 = time.time()
+        approx = [r["doc_id"]
+                  for r in rank_topk_champions(ridx, champs, q, "bm25", 10)
+                  .collect()]
+        champ_lat.append(time.time() - t0)
+        if exact:
+            champ_recalls.append(
+                len(set(exact) & set(approx)) / len(exact))
+    queries["champions_p50_k10"] = statistics.median(champ_lat)
+    extra["champion_recall"] = {
+        "r": 64,
+        "k": 10,
+        "n_queries": len(champ_recalls),
+        "mean_recall_vs_exact": round(
+            sum(champ_recalls) / max(len(champ_recalls), 1), 4),
+        "min_recall_vs_exact": round(min(champ_recalls), 4)
+        if champ_recalls else None,
+    }
+    champs.unpersist()
 
     queries["bm25_p50_k10"] = statistics.median(min(w) for w in lat10.values())
     queries["bm25_p50_k50"] = statistics.median(min(w) for w in lat50.values())
@@ -692,7 +775,8 @@ def run_main(queries: dict, extra: dict) -> None:
     queries["bm25_batch100"] = min(batch_walls)
     extra["batch_queries_per_sec"] = round(100 / queries["bm25_batch100"], 1)
     extra["latency_trials_s"] = {
-        "passes": LAT_PASSES,
+        "passes": n_passes,
+        "pass_totals_s": [round(w, 1) for w in pass_totals],
         "selection": "per-query best-of-passes, median across queries",
         "bm25_k10": {q: [round(w, 3) for w in ws] for q, ws in lat10.items()},
         "bm25_k50": {q: [round(w, 3) for w in ws] for q, ws in lat50.items()},

@@ -3,9 +3,9 @@
 replay path, over a pre-staged pages index at local[N] vs local[4N]).
 
 Usage: python tools/query_scaling.py [index_root] [n_queries] [trials] [lo] [hi]
-  index_root defaults to the last bench trial index
-  (/tmp/bench_pipeline/idx_c8_t3); run ``python bench.py`` (or just its
-  scaling phase) first to stage it. [lo, hi) is the df-rank band the
+  index_root defaults to the newest staged bench trial index under
+  /tmp/bench_pipeline; run ``python bench.py --section scaling`` first
+  to stage it. [lo, hi) is the df-rank band the
   query terms are sampled from — see run_query_scaling's docstring for
   why the band must avoid both the stopword head and the df=1 tail.
 
@@ -24,7 +24,7 @@ sys.path.insert(0, ".")
 def main() -> None:
     import bench
 
-    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_pipeline/idx_c8_t3"
+    root = sys.argv[1] if len(sys.argv) > 1 else None  # newest staged
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 180
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 20
