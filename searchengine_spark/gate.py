@@ -1369,6 +1369,93 @@ def events_sessionized(spark, sf_dir):
     ).select(F.col("user_id").cast("long").alias("user_id"), "n_sessions")
 
 
+@register(
+    "stream_dedup_twin",
+    """
+SELECT md5(text) AS text_md5 FROM documents GROUP BY 1
+""",
+)
+def stream_dedup_twin(spark, sf_dir):
+    """Streaming exact dedup (``streaming/ingest.dedup_stream``,
+    dropDuplicatesWithinWatermark over the body md5) driven END TO END
+    as a gate entry: the documents table plus a full mirrored
+    "re-crawl" of every doc (same text under a new url) is staged as
+    two parquet files and consumed as an availableNow file stream with
+    ``maxFilesPerTrigger=1`` — so every mirror row is a CROSS-micro-
+    batch duplicate arriving within the watermark, the case that needs
+    streaming state. Exactly one survivor per distinct text must come
+    out. The gate compares the survivor md5 multiset (deterministic):
+    WHICH url of a duplicate pair survives depends on arrival order —
+    an ingest-time property, not a corpus property — so urls/doc_ids
+    are not exposed. A doubled survivor (state lost across batches) or
+    a dropped original both break the row count; a wrong survivor text
+    breaks the hash."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.ingest import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/gate_stream_dedup_{tag}"
+    src = f"{root}/src"
+    marker = f"{root}/_STAGED"
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+
+        def shaped(prefix: str, ts0: int):
+            # deterministic event times, all inside one watermark
+            # window (span 600 s << 1 h) so no dedup state is ever
+            # evicted mid-run and no row is late-dropped
+            return docs.select(
+                F.concat(F.lit(prefix), F.col("doc_id").cast("string"))
+                .alias("url"),
+                F.timestamp_seconds(
+                    F.lit(ts0) + F.pmod(F.col("doc_id"), F.lit(600))
+                ).alias("warc_ts"),
+                F.col("text"),
+            )
+
+        os.makedirs(src, exist_ok=True)
+        for sub, df in (
+            ("a", shaped("doc://", 1_700_000_000)),
+            ("b", shaped("mirror://", 1_700_000_300)),
+        ):
+            tmp = f"{root}/tmp_{sub}"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for fn in sorted(os.listdir(tmp)):
+                if fn.endswith(".parquet"):
+                    shutil.copy(f"{tmp}/{fn}", f"{src}/{sub}_{fn}")
+            shutil.rmtree(tmp)
+        with open(marker, "w") as f:
+            f.write("staged")
+    run = uuid.uuid4().hex
+    out = f"{root}/out_{run}"
+    stream = (
+        spark.readStream
+        .schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{root}/ck_{run}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out).select(
+        F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+    shutil.rmtree(f"{root}/ck_{run}", ignore_errors=True)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # 6. Classification extras (SURVEY.md §2.6, C1-C4; class = lang)
 # ---------------------------------------------------------------------------
@@ -2903,6 +2990,9 @@ _BEYOND_BUDGET = (
     "html_inlink_hosts",
     "html_anchor_terms",
     "graph_degrees",
+    # round-4 addition: the streaming family's first driver-graded
+    # entry (batch-twin oracle; pytest covers arrival-order semantics)
+    "stream_dedup_twin",
 )
 
 
