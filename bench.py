@@ -75,7 +75,14 @@ SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
 # (~8 min) — enough best-of windows to dodge one noise burst
 QSCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_QSCALE_TRIALS", "3"))
 QUERY_SCALING = os.environ.get("SPARK_GRAFT_QUERY_SCALING", "1") != "0"
-WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "16000000"))
+# 128M postings: the round-4 section isolation (fresh JVM per section)
+# made the full-decode side ~4x faster than the r03 shared-JVM runs, so
+# at 16M postings BOTH paths are fixed-overhead-bound (~2-3 s of job
+# scheduling) and the crossover vanishes (r4 datapoint: 2.86 s full vs
+# 3.42 s WAND). WAND's decoded prefix is θ-bounded and N-invariant,
+# full decode is O(N) — measure where decode work dominates overhead,
+# which is the 100TB-relevant regime.
+WAND_N = int(os.environ.get("SPARK_GRAFT_WAND_N", "128000000"))
 # adaptive-extension caps: extra interleaved trial pairs run while the
 # best-of efficiency is under the 0.8 north rule (all walls recorded)
 SCALE_MAX_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_TRIALS", "6"))
@@ -741,30 +748,56 @@ def run_main(queries: dict, extra: dict) -> None:
         rank_topk_champions,
     )
 
-    champs = champion_lists(ridx, r=64).cache()
-    champs.count()
-    champ_recalls, champ_lat = [], []
-    for q in BM25_QUERIES:
-        exact = [r["doc_id"] for r in rank_topk(ridx, q, "bm25", 10).collect()]
-        t0 = time.time()
-        approx = [r["doc_id"]
-                  for r in rank_topk_champions(ridx, champs, q, "bm25", 10)
-                  .collect()]
-        champ_lat.append(time.time() - t0)
-        if exact:
-            champ_recalls.append(
-                len(set(exact) & set(approx)) / len(exact))
+    # r is THE static-pruning knob: recall rises with r (at r >= max df
+    # the candidate set is exact), latency with the candidate volume.
+    # r=64 reached >=0.9 at gate scale (500 docs, pytest) but only 0.41
+    # on this 10x corpus — champion depth must track corpus size, so
+    # the committed evidence is the r->recall curve at THIS sf, not one
+    # gate-tuned point.
+    exact_ids = {
+        q: [r["doc_id"] for r in rank_topk(ridx, q, "bm25", 10).collect()]
+        for q in BM25_QUERIES
+    }
+    sweep = []
+    champ_lat: list[float] = []
+    for r_depth in (64, 256, 1024):
+        champs = champion_lists(ridx, r=r_depth).cache()
+        champs.count()
+        recalls, lats = [], []
+        for q in BM25_QUERIES:
+            t0 = time.time()
+            approx = [
+                r["doc_id"]
+                for r in rank_topk_champions(ridx, champs, q, "bm25", 10)
+                .collect()
+            ]
+            lats.append(time.time() - t0)
+            if exact_ids[q]:
+                recalls.append(
+                    len(set(exact_ids[q]) & set(approx))
+                    / len(exact_ids[q]))
+        champs.unpersist()
+        sweep.append({
+            "r": r_depth,
+            "mean_recall_vs_exact": round(
+                sum(recalls) / max(len(recalls), 1), 4),
+            "min_recall_vs_exact": round(min(recalls), 4)
+            if recalls else None,
+            "p50_latency_s": round(statistics.median(lats), 3),
+        })
+        if not champ_lat or sweep[-1]["mean_recall_vs_exact"] >= 0.9:
+            champ_lat = lats  # headline latency = smallest r with >=0.9
+        if sweep[-1]["mean_recall_vs_exact"] >= 0.9:
+            break
     queries["champions_p50_k10"] = statistics.median(champ_lat)
     extra["champion_recall"] = {
-        "r": 64,
         "k": 10,
-        "n_queries": len(champ_recalls),
-        "mean_recall_vs_exact": round(
-            sum(champ_recalls) / max(len(champ_recalls), 1), 4),
-        "min_recall_vs_exact": round(min(champ_recalls), 4)
-        if champ_recalls else None,
+        "n_queries": len(BM25_QUERIES),
+        "sweep": sweep,
+        "headline_r": next(
+            (s["r"] for s in sweep if s["mean_recall_vs_exact"] >= 0.9),
+            sweep[-1]["r"]),
     }
-    champs.unpersist()
 
     queries["bm25_p50_k10"] = statistics.median(min(w) for w in lat10.values())
     queries["bm25_p50_k50"] = statistics.median(min(w) for w in lat50.values())

@@ -2967,6 +2967,10 @@ _DEMOTED = (
     "dedup_embedding",          # multi-table variant of sim_ann (which stays)
     "events_windowed",          # events family kept via events_sessionized
     "ref_boolean_mixed",        # analyzer replay kept via ref_bm25_topk
+    # round-4: one more swap so the streaming family gets a driver row —
+    # textstats keeps 4 in-window entries (token_counts/lang_id/quality/
+    # bigram_logprob); fingerprint was driver-green in r01-r03
+    "text_fingerprint",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
@@ -2990,9 +2994,6 @@ _BEYOND_BUDGET = (
     "html_inlink_hosts",
     "html_anchor_terms",
     "graph_degrees",
-    # round-4 addition: the streaming family's first driver-graded
-    # entry (batch-twin oracle; pytest covers arrival-order semantics)
-    "stream_dedup_twin",
 )
 
 
