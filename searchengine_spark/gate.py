@@ -718,6 +718,47 @@ def segments_roundtrip(spark, sf_dir):
     )
 
 
+# Oracle for the segment merge: the SAME postings SQL, tokenizing the
+# post-re-crawl corpus (every 7th doc re-crawled with extra text).
+MERGE_SQL = SQL_PREFIX.replace(
+    "regexp_extract_all(lower(text)",
+    "regexp_extract_all(lower(CASE WHEN doc_id % 7 = 0 "
+    "THEN text || ' merged refresh' ELSE text END)",
+) + "SELECT term, doc_id, tftd, min_pos, max_pos FROM postings"
+
+
+@register("segments_merge", MERGE_SQL)
+def segments_merge(spark, sf_dir):
+    """Lucene-style posting-list merge (the north rule's "merge"):
+    every 7th doc is re-crawled with appended text, indexed as a small
+    delta, and merged into the cached base segments with the old
+    postings superseded — only delta-touched (term, block) groups are
+    rewritten (indexing/segments.py:merge_segments). Decoding the
+    merged segments must reproduce the postings of the post-re-crawl
+    corpus exactly. The reference's disk index is write-once
+    (/root/reference/diskindexwriter.py — adding docs = full rebuild);
+    this is the incremental path a perpetual crawl needs."""
+    from .indexing.segments import build_segments, decode_postings, merge_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    recrawled = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat("text", F.lit(" merged refresh")).alias("text"))
+    delta_idx = build_simple_index(recrawled)
+    delta_seg = build_segments(delta_idx.postings, delta_idx.doc_stats,
+                               block_span=64)
+    merged = merge_segments(_segments(spark, sf_dir), delta_seg,
+                            superseded=recrawled.select("doc_id"),
+                            block_span=64)
+    dec = decode_postings(merged, terms=None)
+    return dec.select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("tftd").cast("long").alias("tftd"),
+        F.element_at("positions", 1).cast("long").alias("min_pos"),
+        F.element_at("positions", -1).cast("long").alias("max_pos"),
+    )
+
+
 @register("wand_bm25", ORACLE_SQL["rank_bm25"])
 def wand_bm25(spark, sf_dir):
     """Block-max WAND top-10 — lossless pruning, so it shares
@@ -2971,6 +3012,12 @@ _DEMOTED = (
     # textstats keeps 4 in-window entries (token_counts/lang_id/quality/
     # bigram_logprob); fingerprint was driver-green in r01-r03
     "text_fingerprint",
+    # round-4: swapped for segments_merge (the north rule's posting-list
+    # MERGE — a new operator deserves the driver row more than a third
+    # weighting formula). S1 stays fully covered: same rank_topk plan as
+    # rank_bm25, strategy proven by full-Cranfield rank-parity + pytest,
+    # and check_gate replays it green at sf0.01 and sf0.1.
+    "rank_default",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed

@@ -148,6 +148,75 @@ def read_segments(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return spark.read.parquet(f"{path}/segments"), meta
 
 
+SEG_COLS = [
+    "term", "block", "df_block", "max_tftd", "min_doc_length",
+    "docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb", "doc_lengths_vb",
+]
+
+
+def merge_segments(base: DataFrame, delta: DataFrame,
+                   superseded: DataFrame | None = None,
+                   block_span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
+    """Lucene-style segment merge: fold a (small) delta index into an
+    existing segment set, rewriting ONLY the groups the delta touches.
+
+    The reference's disk index is write-once (diskindexwriter.py builds
+    the whole postings.bin in one shot; adding documents means a full
+    rebuild). At 10^12 docs a rebuild per crawl batch is untenable —
+    this is the posting-list MERGE the north rule names, with cost
+    proportional to the delta, not the index:
+
+    * a base (term, block) group is rewritten only when (a) the delta
+      writes the same (term, block), or (b) its block holds a
+      superseded doc_id (stale postings must be dropped). Everything
+      else passes through as untouched columnar bytes — no decode, no
+      re-encode, no shuffle of cold data (the anti-join against the
+      broadcast collision set is exchange-free on the base side).
+    * ``superseded`` (doc_ids whose old postings the delta replaces —
+      re-crawled or deleted pages) is delta-sized by assumption and is
+      broadcast; pass ``None`` for pure appends (fresh doc_ids).
+    * hot groups decode → drop superseded → union the decoded delta →
+      re-encode via :func:`build_segments`, so merged bytes are
+      bit-identical to a from-scratch build of the logical union corpus
+      (the encoder is deterministic; asserted by pytest and the
+      ``segments_merge`` gate entry).
+
+    Scale shape: with B = blocks touched by the delta, the rewrite work
+    is O(B · block_span) postings regardless of index size. A uniformly
+    random re-crawl touches every block (any doc-range layout degrades
+    the same way); batch re-crawls by doc-id locality to keep B small.
+    """
+    base = base.select(*SEG_COLS)
+    delta = delta.select(*SEG_COLS)
+
+    delta_keys = delta.select("term", "block").distinct() \
+        .withColumn("_collide", F.lit(True))
+    tagged = base.join(F.broadcast(delta_keys), ["term", "block"], "left")
+    if superseded is not None:
+        sup_ids = superseded.select(F.col("doc_id").cast("long").alias("doc_id"))
+        sup_blocks = sup_ids.select(
+            (F.col("doc_id") / F.lit(block_span)).cast("long").alias("block")
+        ).distinct().withColumn("_sup", F.lit(True))
+        tagged = tagged.join(F.broadcast(sup_blocks), ["block"], "left")
+    else:
+        tagged = tagged.withColumn("_sup", F.lit(None).cast("boolean"))
+    hot = F.coalesce(F.col("_collide"), F.lit(False)) | \
+        F.coalesce(F.col("_sup"), F.lit(False))
+
+    base_cold = tagged.filter(~hot).select(*SEG_COLS)
+    base_hot = tagged.filter(hot).select(*SEG_COLS)
+
+    hot_postings = decode_postings(base_hot, terms=None)
+    if superseded is not None:
+        hot_postings = hot_postings.join(F.broadcast(sup_ids), "doc_id",
+                                         "left_anti")
+    merged_postings = hot_postings.unionByName(
+        decode_postings(delta, terms=None))
+    merged_hot = build_segments(merged_postings, doc_stats=None,
+                                block_span=block_span)
+    return base_cold.unionByName(merged_hot.select(*SEG_COLS))
+
+
 DEC_SCHEMA = T.StructType(
     [
         T.StructField("doc_ids", T.ArrayType(T.LongType())),

@@ -150,3 +150,86 @@ def test_block_split_bounds_head_term_groups(spark):
     assert stats["total"] == n
     assert stats["max_group"] <= span
     assert stats["n_blocks"] == (n + span - 1) // span
+
+
+# ---------------------------------------------------------------------------
+# Segment merge (Lucene-style incremental maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _seg_rows(df):
+    """Canonical byte-level view of a segment frame: sorted tuples with
+    binary columns normalized to bytes — equality here is bit-identity."""
+    from searchengine_spark.indexing.segments import SEG_COLS
+
+    rows = []
+    for r in df.select(*SEG_COLS).collect():
+        rows.append(tuple(
+            bytes(v) if isinstance(v, (bytearray, bytes)) else v
+            for v in r
+        ))
+    return sorted(rows)
+
+
+def _simple_segments(docs, span=64):
+    from searchengine_spark.indexing.segments import build_segments
+    from searchengine_spark.indexing.simple import build_simple_index
+
+    idx = build_simple_index(docs)
+    return build_segments(idx.postings, idx.doc_stats, block_span=span)
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").cache()
+
+
+def test_merge_append_equals_scratch_build(spark, small_docs):
+    """Appending a crawl batch with fresh doc_ids: merged segments must
+    be BIT-identical to a from-scratch build of the union corpus (cold
+    groups pass through as raw bytes; hot boundary groups re-encode
+    deterministically)."""
+    from searchengine_spark.indexing.segments import merge_segments
+
+    base_docs = small_docs
+    delta_docs = small_docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("fresh batch "), "text").alias("text"),
+    )
+    merged = merge_segments(
+        _simple_segments(base_docs), _simple_segments(delta_docs),
+        superseded=None, block_span=64,
+    )
+    scratch = _simple_segments(base_docs.unionByName(delta_docs))
+    assert _seg_rows(merged) == _seg_rows(scratch)
+
+
+def test_merge_recrawl_supersedes_old_postings(spark, small_docs):
+    """Re-crawling every 5th doc with CHANGED text: the merge must drop
+    every stale posting (including terms the new text no longer
+    contains) and equal a scratch build of the post-re-crawl corpus."""
+    from searchengine_spark.indexing.segments import merge_segments
+
+    recrawled = small_docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        # replace (not append) so some old terms vanish entirely
+        F.concat(F.lit("recrawl only "), F.substring("text", 1, 40)).alias("text"),
+    )
+    merged = merge_segments(
+        _simple_segments(small_docs), _simple_segments(recrawled),
+        superseded=recrawled.select("doc_id"), block_span=64,
+    )
+    updated = small_docs.filter(F.col("doc_id") % 5 != 0).unionByName(recrawled)
+    scratch = _simple_segments(updated)
+    assert _seg_rows(merged) == _seg_rows(scratch)
+
+
+def test_merge_empty_delta_is_passthrough(spark, small_docs):
+    """An empty delta leaves every base group byte-untouched."""
+    from searchengine_spark.indexing.segments import merge_segments
+
+    base = _simple_segments(small_docs)
+    merged = merge_segments(base, base.limit(0), superseded=None, block_span=64)
+    assert _seg_rows(merged) == _seg_rows(base)
