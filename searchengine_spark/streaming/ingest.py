@@ -20,6 +20,10 @@ Design (delta + compaction, the standard streaming-index shape):
 * ``compact_index`` merges deltas into a consolidated SparkIndex
   (last-write-wins per (url-hash) doc: re-crawled pages replace their
   old postings by doc_id identity, since identical urls share an id).
+* ``start_segment_maintenance`` keeps the SERVING artifact (compressed
+  block-split segments) current per micro-batch via ``merge_segments``
+  with versioned directories and an atomic pointer swap — MVCC for
+  readers; merge work per batch ∝ batch size.
 * ``ingestion_stats`` is the watermarked event-time aggregation
   (1-minute windows on ``warc_ts``, 2-minute late-data watermark) —
   the monitoring stream.
@@ -43,9 +47,30 @@ def stream_pages(spark: SparkSession, input_dir: str,
     return reader.parquet(input_dir)
 
 
-def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
-    """foreachBatch body: analyze the micro-batch and append deltas."""
-    analyzed = batch.select(
+def _latest_per_url(batch: DataFrame) -> DataFrame:
+    """In-batch last-write-wins: a url re-crawled WITHIN one micro-batch
+    keeps only its newest row (event time ``warc_ts``; deterministic
+    content-hash tiebreak for equal timestamps). Across batches the
+    later batch supersedes (compact_index's batch_id rule / the segment
+    path's superseded set) — together: latest batch, then latest crawl
+    time within it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64("text")))
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _analyze_pages(batch: DataFrame) -> DataFrame:
+    """pages micro-batch → per-doc grouped analysis (url-hash doc_id,
+    reference analyzer, doc-local postings arrays). In-batch re-crawls
+    resolve to the newest row first (_latest_per_url)."""
+    batch = _latest_per_url(batch)
+    return batch.select(
         F.xxhash64("url").bitwiseAND(F.lit((1 << 63) - 1)).alias("doc_id"),
         "url",
         analyze_udf(F.col("text")).alias("a"),
@@ -57,6 +82,11 @@ def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
         F.col("a.biwords").alias("biwords"),
         "byte_size",
     )
+
+
+def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
+    """foreachBatch body: analyze the micro-batch and append deltas."""
+    analyzed = _analyze_pages(batch)
     (
         analyzed.withColumn("batch_id", F.lit(batch_id))
         .write.mode("append")
@@ -121,6 +151,111 @@ def compact_index(spark: SparkSession, root: str) -> SparkIndex:
         "doc_id", F.explode("biwords").alias("term")
     ).select("term", "doc_id")
     return SparkIndex(postings, doc_stats, corpus_stats, biword)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEGMENT maintenance: the serving (compressed, block-split,
+# WAND-ready) index stays fresh per micro-batch via merge_segments —
+# the streaming twin of the batch merge path. Each batch indexes its
+# delta, merges it into the current segment version (re-crawled urls
+# superseded by doc_id identity), writes a NEW versioned directory and
+# atomically swaps a pointer file — readers of the previous version are
+# never disturbed (MVCC-by-directory; on a real warehouse this is an
+# Iceberg snapshot commit). Retention keeps the two newest versions.
+# ---------------------------------------------------------------------------
+
+# For url-hashed (sparse, uniform) doc_ids a block is a fixed id RANGE
+# slice of the 63-bit space: 2^48 ids per block → 32768 blocks, each
+# holding ~n_docs/32768 docs in expectation. Bounded groups without
+# coordination — no sequence assignment over an unbounded stream.
+STREAM_BLOCK_SPAN = 1 << 48
+
+
+def read_current_segments(spark: SparkSession, seg_root: str):
+    """(segments DataFrame, manifest) of the newest committed version,
+    or (None, None) before the first batch lands."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(seg_root, "_current.json")) as fh:
+            cur = json.load(fh)
+    except (OSError, ValueError):
+        return None, None
+    return spark.read.parquet(f"{seg_root}/v{cur['version']}"), cur
+
+
+def _merge_segments_batch(batch: DataFrame, batch_id: int, seg_root: str,
+                          block_span: int) -> None:
+    import json
+    import os
+    import shutil
+
+    from ..indexing.segments import (
+        SEG_COLS,
+        build_segments,
+        merge_segments,
+    )
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    analyzed = _analyze_pages(batch)
+    postings = analyzed.select(
+        "doc_id", "doc_length", F.explode("postings").alias("tp")
+    ).select(
+        F.col("tp.term").alias("term"),
+        "doc_id",
+        F.size("tp.positions").cast("int").alias("tftd"),
+        F.col("tp.positions").alias("positions"),
+        F.col("doc_length").cast("int").alias("doc_length"),
+    )
+    delta = build_segments(postings, doc_stats=None, block_span=block_span)
+    cur_df, _cur = read_current_segments(spark, seg_root)
+    if cur_df is None:
+        merged = delta
+    else:
+        merged = merge_segments(cur_df, delta,
+                                superseded=analyzed.select("doc_id"),
+                                block_span=block_span)
+    os.makedirs(seg_root, exist_ok=True)
+    merged.select(*SEG_COLS).write.mode("overwrite").parquet(
+        f"{seg_root}/v{batch_id}")
+    tmp = os.path.join(seg_root, "_current.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": batch_id, "block_span": block_span}, fh)
+    os.replace(tmp, os.path.join(seg_root, "_current.json"))
+    versions = sorted(int(d[1:]) for d in os.listdir(seg_root)
+                      if d.startswith("v") and d[1:].isdigit())
+    for v in versions[:-2]:
+        shutil.rmtree(f"{seg_root}/v{v}", ignore_errors=True)
+
+
+def start_segment_maintenance(spark: SparkSession, input_dir: str,
+                              seg_root: str,
+                              block_span: int = STREAM_BLOCK_SPAN,
+                              available_now: bool = True):
+    """Maintain queryable compressed segments over a pages stream.
+
+    Unlike :func:`start_incremental_index` (append deltas, compact on
+    demand), this keeps the SERVING artifact itself current: after each
+    micro-batch, ``read_current_segments`` returns a consistent segment
+    set containing exactly the latest crawl of every url seen so far —
+    decodable by ``decode_postings`` and scoreable by WAND unchanged.
+    Merge work per batch ∝ batch size (see merge_segments), so the
+    maintenance cost of a perpetual crawl is flat, not growing with the
+    index."""
+    stream = stream_pages(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda b, i: _merge_segments_batch(b, i, seg_root, block_span)
+        )
+        .option("checkpointLocation", f"{seg_root}/_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()
 
 
 SESSION_OUT_SCHEMA = (

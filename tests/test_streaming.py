@@ -285,3 +285,70 @@ def test_dedup_stream_matches_batch_exact_dedup(spark, tmp_path):
     assert got_urls.isdisjoint(dead)
     assert make_page(13)["url"] in got_urls and make_page(0)["url"] in got_urls
     assert len(got_urls) == 11
+
+
+def test_segment_maintenance_matches_compacted_index(spark, tmp_path):
+    """Streaming segment maintenance: after replaying drops that include
+    a re-crawled url, the CURRENT segment version must decode to exactly
+    the postings of the compacted delta index (last-write-wins), and old
+    versions must be retired to the retention window."""
+    import os
+
+    from searchengine_spark.indexing.segments import decode_postings
+    from searchengine_spark.streaming.ingest import (
+        compact_index,
+        read_current_segments,
+        start_incremental_index,
+        start_segment_maintenance,
+    )
+
+    inp = str(tmp_path / "in")
+    seg_root = str(tmp_path / "segs")
+    idx_root = str(tmp_path / "idx")
+
+    _write_pages(spark, inp, range(0, 12))
+    start_segment_maintenance(spark, inp, seg_root).awaitTermination(120)
+
+    # drop 2: re-crawl page 3 with NEW text (same url → same doc_id,
+    # old postings must vanish) + 4 fresh pages
+    def mutate(p):
+        if p["url"].endswith("page0003"):
+            import datetime
+
+            p = dict(p, text="fresh recrawl content only",
+                     html=b"<html><body>fresh recrawl content only"
+                          b"</body></html>",
+                     warc_ts=p["warc_ts"] + datetime.timedelta(days=1))
+        return p
+
+    _write_pages(spark, inp, [3, 12, 13, 14, 15], mutate=mutate)
+    start_segment_maintenance(spark, inp, seg_root).awaitTermination(120)
+
+    seg, cur = read_current_segments(spark, seg_root)
+    assert seg is not None and cur["version"] >= 1
+    got = {
+        (r["term"], r["doc_id"], r["tftd"], tuple(r["positions"]),
+         r["doc_length"])
+        for r in decode_postings(seg, terms=None).collect()
+    }
+
+    # batch twin: the delta-append + compact path over the same drops
+    start_incremental_index(spark, inp, idx_root).awaitTermination(120)
+    cidx = compact_index(spark, idx_root)
+    dl = {r["doc_id"]: int(r["doc_length"])
+          for r in cidx.doc_stats.collect()}
+    want = {
+        (r["term"], r["doc_id"], r["tftd"], tuple(r["positions"]),
+         dl[r["doc_id"]])
+        for r in cidx.postings.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the re-crawl actually replaced content: page 3's fresh terms exist
+    terms = {t for (t, *_rest) in got}
+    assert "recrawl" in terms
+
+    # retention: at most the two newest versions remain on disk
+    versions = [d for d in os.listdir(seg_root)
+                if d.startswith("v") and d[1:].isdigit()]
+    assert len(versions) <= 2
