@@ -182,7 +182,36 @@ def read_current_segments(spark: SparkSession, seg_root: str):
             cur = json.load(fh)
     except (OSError, ValueError):
         return None, None
-    return spark.read.parquet(f"{seg_root}/v{cur['version']}"), cur
+    return spark.read.parquet(f"{seg_root}/v{cur['version']}/segments"), cur
+
+
+class _SegmentScalars:
+    """Adapter giving the maintained segment set the corpus_scalars()
+    surface ranked/WAND queries expect from a SparkIndex."""
+
+    def __init__(self, n_docs: float, avg_dl: float):
+        self._scalars = (n_docs, avg_dl)
+
+    def corpus_scalars(self):
+        return self._scalars
+
+
+def current_queryable(spark: SparkSession, seg_root: str):
+    """(segments DataFrame, index-scalars adapter) for the newest
+    version — everything wand_topk/ranked scoring needs, with n_docs
+    and avg doc length aggregated from the version's own doc-stats
+    sidecar (one tiny agg; doc_lengths for scoring ride inside the
+    segments themselves)."""
+    seg, cur = read_current_segments(spark, seg_root)
+    if seg is None:
+        return None, None
+    row = spark.read.parquet(
+        f"{seg_root}/v{cur['version']}/docstats"
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("doc_length").alias("avg_dl"),
+    ).collect()[0]
+    return seg, _SegmentScalars(float(row["n"]), float(row["avg_dl"]))
 
 
 def _merge_segments_batch(batch: DataFrame, batch_id: int, seg_root: str,
@@ -211,16 +240,25 @@ def _merge_segments_batch(batch: DataFrame, batch_id: int, seg_root: str,
         F.col("doc_length").cast("int").alias("doc_length"),
     )
     delta = build_segments(postings, doc_stats=None, block_span=block_span)
-    cur_df, _cur = read_current_segments(spark, seg_root)
+    delta_stats = analyzed.select(
+        "doc_id", F.col("doc_length").cast("int").alias("doc_length"))
+    cur_df, cur = read_current_segments(spark, seg_root)
     if cur_df is None:
         merged = delta
+        stats = delta_stats
     else:
         merged = merge_segments(cur_df, delta,
                                 superseded=analyzed.select("doc_id"),
                                 block_span=block_span)
+        stats = spark.read.parquet(
+            f"{seg_root}/v{cur['version']}/docstats"
+        ).join(F.broadcast(delta_stats.select("doc_id")), "doc_id",
+               "left_anti").unionByName(delta_stats)
     os.makedirs(seg_root, exist_ok=True)
     merged.select(*SEG_COLS).write.mode("overwrite").parquet(
-        f"{seg_root}/v{batch_id}")
+        f"{seg_root}/v{batch_id}/segments")
+    stats.write.mode("overwrite").parquet(
+        f"{seg_root}/v{batch_id}/docstats")
     tmp = os.path.join(seg_root, "_current.json.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": batch_id, "block_span": block_span}, fh)

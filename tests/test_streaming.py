@@ -352,3 +352,23 @@ def test_segment_maintenance_matches_compacted_index(spark, tmp_path):
     versions = [d for d in os.listdir(seg_root)
                 if d.startswith("v") and d[1:].isdigit()]
     assert len(versions) <= 2
+
+    # the maintained set is directly QUERYABLE: block-max WAND over the
+    # current version (scalars from its doc-stats sidecar) must be
+    # rank-identical to unpruned BM25 over the compacted twin
+    from searchengine_spark.queries.ranked import rank_topk
+    from searchengine_spark.queries.wand import wand_topk
+    from searchengine_spark.streaming.ingest import current_queryable
+
+    seg_q, scalars = current_queryable(spark, seg_root)
+    got_top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand_topk(scalars, seg_q, "fresh recrawl content",
+                           5).collect()
+    ]
+    want_top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in rank_topk(cidx, "fresh recrawl content", "bm25",
+                           5).collect()
+    ]
+    assert got_top == want_top and len(got_top) > 0
