@@ -80,6 +80,27 @@ def main() -> None:
     cand = lsh_candidate_pairs(sigs)
     jaccard_verify(docs, cand).explain()
 
+    print("=" * 70)
+    print("SEGMENT MERGE — the base side must stream through BROADCAST")
+    print("joins only (collision keys + superseded blocks/ids are all")
+    print("delta-sized); the cold path is scan->filter->passthrough with")
+    print("no Exchange; only hot groups reach the decode/re-encode UDFs")
+    print("=" * 70)
+    from pyspark.sql import functions as F2
+
+    from searchengine_spark.indexing.segments import (
+        build_segments,
+        merge_segments,
+    )
+
+    base_seg = build_segments(idx.postings, idx.doc_stats, block_span=64)
+    recrawl = docs.filter(F2.col("doc_id") % 7 == 0).select(
+        "doc_id", F2.concat("text", F2.lit(" refresh")).alias("text"))
+    didx = build_simple_index(recrawl)
+    delta_seg = build_segments(didx.postings, didx.doc_stats, block_span=64)
+    merge_segments(base_seg, delta_seg, superseded=recrawl.select("doc_id"),
+                   block_span=64).explain()
+
 
 if __name__ == "__main__":
     main()
