@@ -237,7 +237,9 @@ def dedup_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti")
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 20, state_dir: str | None = None
+) -> DataFrame:
     """Connected components over verified duplicate ``pairs(doc_a,
     doc_b)``: (doc_id, cluster_id) for every doc touched by a pair,
     cluster_id = smallest doc_id in the component. This is the
@@ -254,31 +256,57 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     one hop (label ← label(label)), converging in O(log diameter)
     rounds — duplicate clusters are near-cliques, so 2-3 rounds in
     practice. Per round: one edges⋈labels shuffle + groupBy(dst) min,
-    one labels self-join for the jump, then ``localCheckpoint`` to
-    truncate the iterative lineage (swap for a reliable checkpoint
-    under dynamic allocation, where executor loss drops local blocks).
-    Convergence is detected from sum(label) — per-node labels are
-    monotonically non-increasing, so the decimal(38,0) sum is a fixed
-    point iff the labels are — one cheap aggregate instead of a
-    change-count join. The driver loop is over O(log d) rounds, never
-    over data."""
+    one labels self-join for the jump, then a materialization that
+    truncates the iterative lineage. Convergence is detected from
+    sum(label) — per-node labels are monotonically non-increasing, so
+    the decimal(38,0) sum is a fixed point iff the labels are — one
+    cheap aggregate instead of a change-count join. The driver loop is
+    over O(log d) rounds, never over data.
+
+    ``state_dir`` picks the per-round state store:
+
+    * ``None`` (default): ``localCheckpoint`` — zero-copy, but every
+      round's node-sized label table lives as executor block-manager
+      heap blocks. Fine at gate scale; at 10⁸ nodes the accumulated
+      rounds contend on the shared heap (GC + memory bandwidth — the
+      measured cause of the 0.507 N→4N efficiency at 100M pairs,
+      PERF.md "CC at 100M pairs"), and local blocks are lost on
+      executor loss under dynamic allocation.
+    * a directory path: each round's labels are written to
+      ``state_dir/labels_{r%2}`` as parquet and read back — columnar,
+      compressed, OFF-heap (OS page cache), double-buffered so the
+      round being read is never the one overwritten, and restartable
+      from the last completed round. This is the 100-TB configuration:
+      executor heap holds only the in-flight shuffle, never
+      accumulated iteration state, and the store survives executor
+      loss. Labels are identical either way — the option changes only
+      where intermediate state lives."""
+    spark = pairs.sparkSession
+
+    def _mat(df: DataFrame, name: str) -> DataFrame:
+        if state_dir is None:
+            return df.localCheckpoint()
+        path = f"{state_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     e = pairs.select(
         F.col("doc_a").cast("long").alias("src"),
         F.col("doc_b").cast("long").alias("dst"),
     )
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    edges = edges.localCheckpoint()
-    labels = (
+    edges = _mat(edges, "edges")
+    labels = _mat(
         edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc_id")),
+        "labels_init",
     )
 
     def _sum(df: DataFrame):
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev = _sum(labels)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy("dst").agg(F.min("label").alias("nbr"))
@@ -288,10 +316,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             "doc_id", F.least("label", "nbr").alias("label")
         )
         hop = new.select(F.col("doc_id").alias("label"), F.col("label").alias("ll"))
-        new = (
+        new = _mat(
             new.join(hop, "label", "left")
-            .select("doc_id", F.least("label", F.coalesce("ll", "label")).alias("label"))
-            .localCheckpoint()
+            .select("doc_id", F.least("label", F.coalesce("ll", "label")).alias("label")),
+            f"labels_{rnd % 2}",
         )
         cur = _sum(new)
         labels = new

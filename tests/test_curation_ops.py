@@ -289,6 +289,25 @@ def test_duplicate_clusters_long_path_converges(spark):
     assert len(out) == 33
 
 
+def test_duplicate_clusters_parquet_state_parity(spark, tmp_path):
+    from searchengine_spark.ops.dedup import duplicate_clusters
+
+    # same inputs as the chain/star case, plus a path long enough to
+    # need >2 rounds so labels_{0,1} double-buffering actually cycles
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (20, 21)]
+        + [(100 + i, 101 + i) for i in range(12)],
+        "doc_a long, doc_b long",
+    )
+    base = {(r["doc_id"], r["cluster_id"])
+            for r in duplicate_clusters(pairs).collect()}
+    spilled = {(r["doc_id"], r["cluster_id"])
+               for r in duplicate_clusters(
+                   pairs, state_dir=str(tmp_path / "cc_state")).collect()}
+    assert spilled == base
+    assert (tmp_path / "cc_state" / "edges").exists()
+
+
 def test_duplicate_clusters_empty_pairs(spark):
     from searchengine_spark.ops.dedup import duplicate_clusters
 
