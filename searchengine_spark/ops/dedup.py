@@ -332,15 +332,18 @@ def duplicate_clusters(
     )
 
 
-def dedup_cluster_filter(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_cluster_filter(
+    docs: DataFrame, pairs: DataFrame, state_dir: str | None = None
+) -> DataFrame:
     """Keep-one-per-CLUSTER dedup action: resolve ``pairs`` to
     connected components and keep only each component's smallest
     doc_id (plus every doc in no pair). Strictly stronger than
     :func:`dedup_filter`'s greedy pair policy — see
-    :func:`duplicate_clusters`. Anti-join strategy left to AQE, same
+    :func:`duplicate_clusters` (``state_dir`` is passed through to its
+    per-round state store). Anti-join strategy left to AQE, same
     contract as dedup_filter."""
     drop = (
-        duplicate_clusters(pairs)
+        duplicate_clusters(pairs, state_dir=state_dir)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )

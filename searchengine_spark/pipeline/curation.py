@@ -47,6 +47,11 @@ class CurationConfig:
     # greedy drop-every-doc_b policy; costs O(log diameter) extra
     # label-propagation rounds over the pair set only
     cluster_dedup: bool = False
+    # per-round label state store for the cluster resolution: None =
+    # localCheckpoint (heap blocks, gate-scale); a directory path =
+    # double-buffered parquet spill — the 10^8+-node configuration
+    # (see ops.dedup.duplicate_clusters)
+    cc_state_dir: str | None = None
     # quality/repetition thresholds (ppm = parts per million of n-grams)
     max_top2_ppm: int = 200_000
     max_dup2_ppm: int = 200_000
@@ -146,7 +151,9 @@ def run_curation(docs: DataFrame, cfg: CurationConfig | None = None,
     if cfg.cluster_dedup:
         from ..ops.dedup import dedup_cluster_filter
 
-        cur, n = advance(cur, dedup_cluster_filter(cur, pairs))
+        cur, n = advance(
+            cur, dedup_cluster_filter(cur, pairs, state_dir=cfg.cc_state_dir)
+        )
     else:
         cur, n = advance(cur, dedup_filter(cur, pairs))
     cand.unpersist()

@@ -389,7 +389,7 @@ def test_run_curation_end_to_end(spark):
     assert s["sample"]["n_kept"] == 2
 
 
-def test_run_curation_cluster_dedup_option(spark):
+def test_run_curation_cluster_dedup_option(spark, tmp_path):
     from searchengine_spark.pipeline.curation import (
         CurationConfig,
         run_curation,
@@ -414,6 +414,12 @@ def test_run_curation_cluster_dedup_option(spark):
                      docs, CurationConfig(cluster_dedup=True)).collect()}
     assert clustered == {1, 9}
     assert clustered <= greedy
+    spilled = {r["doc_id"]
+               for r in run_curation(
+                   docs, CurationConfig(
+                       cluster_dedup=True,
+                       cc_state_dir=str(tmp_path / "cc"))).collect()}
+    assert spilled == clustered
 
 
 def test_run_curation_without_optional_stages(spark):
