@@ -63,6 +63,18 @@ def main() -> None:
                 walls[store][cores].append(time.time() - t0)
                 if state:
                     shutil.rmtree(state, ignore_errors=True)
+                if out_path:
+                    # Flush raw walls after every cell so a killed run
+                    # (harness restarts take tmux children with them)
+                    # still leaves auditable partial data.
+                    partial = {"n_nodes_cc": n_cc, "partial": True,
+                               **counts,
+                               "trials_wall_s": {
+                                   st: {f"local{c}": [round(w, 1) for w in ws]
+                                        for c, ws in per.items()}
+                                   for st, per in walls.items()}}
+                    with open(out_path + ".partial", "w") as f:
+                        f.write(json.dumps(partial) + "\n")
             s.stop()
 
     out = {"n_nodes_cc": n_cc, "trials": trials,
