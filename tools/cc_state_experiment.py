@@ -45,15 +45,20 @@ def main() -> None:
     counts: dict[str, int] = {}
     for trial in range(trials):
         for cores in (CORES_N, CORES_4N):  # interleaved
-            s = get_spark(f"cc-state-{cores}-t{trial}", cores=cores,
-                          shuffle_partitions=16)
-            s.range(0, 1_000_000, 1, numPartitions=cores * 4).agg(
-                F.sum("id")).collect()
-            duplicate_clusters(_pairs(s, 10_000)).count()
-
-            p = _pairs(s, n_cc)
-            counts["n_pairs"] = p.count()
             for store in stores:
+                # Fresh session per cell: running both stores in one
+                # 8g JVM OOM'd at local[8] — the first store's
+                # localCheckpoint label blocks stayed pinned in the
+                # block manager while the second run's sorters asked
+                # for execution pages (UNABLE_TO_ACQUIRE_MEMORY).
+                s = get_spark(f"cc-state-{store}-{cores}-t{trial}",
+                              cores=cores, shuffle_partitions=16)
+                s.range(0, 1_000_000, 1, numPartitions=cores * 4).agg(
+                    F.sum("id")).collect()
+                duplicate_clusters(_pairs(s, 10_000)).count()
+
+                p = _pairs(s, n_cc)
+                counts["n_pairs"] = p.count()
                 state = None
                 if store == "parquet_state":
                     state = tempfile.mkdtemp(prefix="cc_state_")
@@ -75,10 +80,14 @@ def main() -> None:
                                    for st, per in walls.items()}}
                     with open(out_path + ".partial", "w") as f:
                         f.write(json.dumps(partial) + "\n")
-            s.stop()
+                s.stop()
+
+    import os
 
     out = {"n_nodes_cc": n_cc, "trials": trials,
-           "selection": f"best_of_{trials}_interleaved", **counts}
+           "selection": f"best_of_{trials}_interleaved",
+           "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+           "session_per_cell": True, **counts}
     for store, per_core in walls.items():
         best = {c: min(ws) for c, ws in per_core.items()}
         thr = {c: counts["n_pairs"] / w for c, w in best.items()}
