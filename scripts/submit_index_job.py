@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--docs-parquet", default=None,
                     help="existing docs table (skip synthesis)")
+    ap.add_argument("--publish-root", default=None,
+                    help="snapshot-table root to publish compressed "
+                         "segments to (a new table version per build)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +55,18 @@ def main() -> None:
     else:
         docs = stage_docs(spark, args.root, args.n_docs, args.seed)
         fp = f"synth:{args.n_docs}:{args.seed}"
-    run_index_pipeline(spark, args.root, docs, fp)
+    index = run_index_pipeline(spark, args.root, docs, fp)
+
+    published = None
+    if args.publish_root:
+        from searchengine_spark.pipeline.index_pipeline import (
+            publish_segments,
+            stage_segments,
+        )
+
+        seg = stage_segments(spark, args.root, index, fp)
+        published = publish_segments(spark, args.publish_root, seg,
+                                     note=f"build {fp}")
     wall = time.time() - t0
 
     stages = {}
@@ -61,7 +75,7 @@ def main() -> None:
         stages[st] = {"rows": m["rows"], "wall_s": m["wall_s"],
                       "partitions": m["n_partitions"]}
     print(json.dumps({"wall_s": round(wall, 2), "root": args.root,
-                      "stages": stages}))
+                      "stages": stages, "published_version": published}))
     spark.stop()
 
 

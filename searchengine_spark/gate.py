@@ -774,6 +774,40 @@ def wand_bm25(spark, sf_dir):
     )
 
 
+@register(
+    "snapshot_time_travel",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents "
+    "WHERE doc_id % 3 <= 1",
+)
+def snapshot_time_travel(spark, sf_dir):
+    """Time-travel read through the snapshot table layer (the Iceberg
+    stand-in of sources/snapshots.py — the north rule's "written back
+    to Iceberg" surface): v0 = the doc_id%3==0 slice, v1 = append of
+    the %3==1 slice (v0's files reused by reference, not rewritten),
+    v2 = overwrite with a decoy slice. Reading VERSION AS OF v1 must
+    see exactly v0 ∪ v1 and ignore the current v2. Oracle: the same
+    doc_id%3<=1 slice of documents."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "snaptbl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = SnapshotTable(root)
+    tbl.commit(docs.filter(F.col("doc_id") % 3 == 0), note="v0")
+    v1 = tbl.commit(docs.filter(F.col("doc_id") % 3 == 1), mode="append")
+    tbl.commit(docs.filter(F.col("doc_id") % 3 == 2), mode="overwrite",
+               note="decoy current version")
+    return tbl.read(spark, version=v1)
+
+
 # ---------------------------------------------------------------------------
 # 5. Training-data pipeline ops: dedup / similarity / text analysis
 #    (SURVEY.md scope extension; all engine-portable hashing via md5)
@@ -3018,6 +3052,11 @@ _DEMOTED = (
     # rank_bm25, strategy proven by full-Cranfield rank-parity + pytest,
     # and check_gate replays it green at sf0.01 and sf0.1.
     "rank_default",
+    # round-4: swapped for snapshot_time_travel (the Iceberg-semantics
+    # table layer is a new family; the biword INDEX stays proven end to
+    # end by biword_phrase, which answers a phrase query through it,
+    # plus pytest + check_gate at both SFs).
+    "index_biword_df",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed

@@ -185,3 +185,24 @@ def stage_segments(
 
     return run_stage(spark, root, "segments", fp, build,
                      partition_by=["bucket"])
+
+
+def publish_segments(
+    spark: SparkSession,
+    table_root: str,
+    segments: DataFrame,
+    note: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Commit the queryable segment table as a new snapshot of a
+    ``SnapshotTable`` (sources/snapshots.py) — the north rule's
+    "term-partitioned index segments written back to Iceberg" step.
+    Each build becomes a table version: serving readers pin
+    ``table.read(spark, version=v)`` (an immutable file list, so a
+    concurrent publish never disturbs them), a bad build is undone with
+    ``table.rollback(v-1)`` in O(1), and ``mode="append"`` publishes a
+    delta-merge build (indexing/segments.merge_segments) without
+    rewriting the base segment files. Returns the committed version."""
+    from ..sources.snapshots import SnapshotTable
+
+    return SnapshotTable(table_root).commit(segments, mode=mode, note=note)
