@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--publish-root", default=None,
                     help="snapshot-table root to publish compressed "
                          "segments to (a new table version per build)")
+    ap.add_argument("--term-buckets", type=int, default=64,
+                    help="term hash buckets for the segment layout; "
+                         "recorded as a table property so serving "
+                         "readers can plan bucket-pruned scans")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,9 +68,12 @@ def main() -> None:
             stage_segments,
         )
 
-        seg = stage_segments(spark, args.root, index, fp)
+        seg = stage_segments(spark, args.root, index, fp,
+                             term_buckets=args.term_buckets)
         published = publish_segments(spark, args.publish_root, seg,
-                                     note=f"build {fp}")
+                                     note=f"build {fp}",
+                                     term_buckets=args.term_buckets,
+                                     corpus_stats=index.corpus_stats)
     wall = time.time() - t0
 
     stages = {}

@@ -808,6 +808,41 @@ def snapshot_time_travel(spark, sf_dir):
     return tbl.read(spark, version=v1)
 
 
+@register(
+    "snapshot_pruned_read",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents "
+    "WHERE doc_id >= 100 AND doc_id < 200",
+)
+def snapshot_pruned_read(spark, sf_dir):
+    """Stats-based scan planning through the snapshot layer (Iceberg
+    data-file stats): the docs are committed range-clustered across 8
+    files, so the manifest's per-file doc_id min/max lets
+    ``read(predicates=…)`` plan away the files outside [100, 200)
+    before Spark lists them. The entry fails loudly if nothing was
+    actually skipped; the oracle is the plain SQL slice — pruning must
+    never change results."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_md5"))
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "snapprune_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = SnapshotTable(root)
+    tbl.commit(docs.repartitionByRange(8, "doc_id"), note="clustered")
+    preds = [("doc_id", ">=", 100), ("doc_id", "<", 200)]
+    plan = tbl.plan_files(preds)
+    if plan["skipped_files"] == 0:
+        raise RuntimeError(f"stats pruning skipped nothing: {plan}")
+    return tbl.read(spark, predicates=preds)
+
+
 # ---------------------------------------------------------------------------
 # 5. Training-data pipeline ops: dedup / similarity / text analysis
 #    (SURVEY.md scope extension; all engine-portable hashing via md5)
@@ -3080,6 +3115,9 @@ _BEYOND_BUDGET = (
     "html_inlink_hosts",
     "html_anchor_terms",
     "graph_degrees",
+    # snapshot layer: time travel holds the checked-window slot;
+    # stats-pruned scan planning is same-family.
+    "snapshot_pruned_read",
 )
 
 

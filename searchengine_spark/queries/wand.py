@@ -100,19 +100,9 @@ def wand_topk(
     # main query plan shallow: otherwise the dft subtree is recomputed
     # inside all three consumers (block UBs, champion scores, survivor
     # scores) within the single action.
-    import math
-
-    dft_rows = (
-        seg.groupBy("term").agg(F.sum("df_block").alias("dft")).collect()
-    )
-    wq_rows = []
-    for r in dft_rows:
-        dft = float(r["dft"])
-        wqt = max(0.1, math.log((n_docs - dft + 0.5) / (dft + 0.5)))
-        wq_rows.append((r["term"], wqt * terms[r["term"]]))
-    if not wq_rows:
+    wq = _query_weights(spark, seg, terms, n_docs)
+    if wq is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    wq = spark.createDataFrame(wq_rows, "term string, wqt double")
 
     # 1. per-block upper bounds from metadata only
     block_ub = (
@@ -187,3 +177,66 @@ def wand_topk(
     survivors = seg.join(F.broadcast(keep_blocks), "block")
     final = exact_scores(survivors)
     return final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
+
+
+def _query_weights(spark, seg: DataFrame, terms: dict[str, int],
+                   n_docs: float):
+    """Per-term BM25 query weights as a ≤|terms|-row broadcastable
+    frame (term, wqt×multiplicity), dft summed from segment block
+    metadata.  Returns None when no query term exists in the index."""
+    import math
+
+    dft_rows = (
+        seg.groupBy("term").agg(F.sum("df_block").alias("dft")).collect()
+    )
+    wq_rows = []
+    for r in dft_rows:
+        dft = float(r["dft"])
+        wqt = max(0.1, math.log((n_docs - dft + 0.5) / (dft + 0.5)))
+        wq_rows.append((r["term"], wqt * terms[r["term"]]))
+    if not wq_rows:
+        return None
+    return spark.createDataFrame(wq_rows, "term string, wqt double")
+
+
+def decode_topk(
+    index,
+    segments: DataFrame,
+    query: str,
+    k: int = 10,
+    normalize=None,
+    term_buckets: int | None = None,
+) -> DataFrame:
+    """BM25 top-k by decoding the query terms' full posting blocks —
+    the non-pruned baseline ``wand_topk`` must beat at decode-bound
+    scale, and the better serving path when the matched posting lists
+    are short (WAND's metadata pass then costs more than it saves).
+    Same tie-break and scoring as wand_topk; identical results by
+    construction (asserted per-trial by the crossover bench)."""
+    from ..indexing.build import term_filter
+    from ..indexing.segments import decode_postings
+
+    spark = segments.sparkSession
+    terms = query_rank_terms(query, normalize)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n_docs, avg_dl = index.corpus_scalars()
+    seg = term_filter(segments, list(terms), term_buckets)
+    wq = _query_weights(spark, seg, terms, n_docs)
+    if wq is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    postings = decode_postings(seg, list(terms), term_buckets=None,
+                               with_positions=False)
+    return (
+        postings.join(F.broadcast(wq), "term")
+        .withColumn(
+            "contrib",
+            F.col("wqt")
+            * bm25_wdt_expr(F.col("tftd"),
+                            F.col("doc_length").cast("double"), avg_dl),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )

@@ -71,11 +71,30 @@ def test_rollback_is_metadata_only_and_new_commits_fork(spark, table):
 
 def test_append_schema_mismatch_fails_loudly(spark, table):
     table.commit(_docs(spark, 0, 5))
-    other = _docs(spark, 5, 6).withColumn("lang", F.lit("en"))
+    # A type change is never evolution.
+    other = _docs(spark, 5, 6).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))
     with pytest.raises(ValueError, match="schema"):
         table.commit(other, mode="append")
     table.commit(other, mode="overwrite")  # redefining is explicit
-    assert "lang" in table.read(spark).columns
+    assert dict(table.read(spark).dtypes)["doc_id"] == "string"
+
+
+def test_append_additive_schema_evolution(spark, table):
+    """Iceberg add-column: appending with a superset schema widens the
+    table; old files read the new nullable column as null; time travel
+    to the pre-evolution snapshot keeps the old schema."""
+    table.commit(_docs(spark, 0, 5))
+    widened = _docs(spark, 5, 8).withColumn(
+        "lang", F.when(F.col("doc_id") >= 0, F.lit("en")))  # nullable
+    table.commit(widened, mode="append")
+    got = table.read(spark).orderBy("doc_id").collect()
+    assert [r.lang for r in got] == [None] * 5 + ["en"] * 3
+    assert "lang" not in table.read(spark, version=0).columns
+    # A non-nullable addition is rejected (old rows can't satisfy it).
+    bad = _docs(spark, 8, 9).withColumn("site", F.lit("x"))
+    with pytest.raises(ValueError, match="schema"):
+        table.commit(bad, mode="append")
 
 
 def test_crashed_commit_is_invisible_and_reclaimed(spark, table):
@@ -218,6 +237,241 @@ def test_input_snapshot_versions_key_the_resumable_build(spark, tmp_path,
     assert idx1.doc_stats.count() == 50
     assert read_manifest(root, "analyzed")["fingerprint"].endswith(
         f"pages@v{v1}")
+
+
+def _ranged(spark, n=100, parts=4):
+    """A doc table whose files hold disjoint doc_id ranges (what a
+    real crawl table gets from write-time clustering) so footer stats
+    can actually prune."""
+    return _docs(spark, 0, n).repartitionByRange(parts, "doc_id")
+
+
+def test_manifest_carries_footer_stats(spark, table):
+    table.commit(_ranged(spark))
+    for f in table.manifest(0)["data_files"]:
+        st = f["stats"]["doc_id"]
+        assert isinstance(st["min"], int) and st["min"] <= st["max"]
+        assert st["nulls"] == 0
+        assert "text" in f["stats"]  # strings get bounds too
+
+
+def test_predicate_read_prunes_and_matches_plain_filter(spark, table):
+    table.commit(_ranged(spark))
+    plan = table.plan_files([("doc_id", "<", 10)])
+    assert plan["total_files"] >= 4
+    assert 0 < plan["kept_files"] < plan["total_files"]  # real skipping
+    for preds in ([("doc_id", "<", 10)],
+                  [("doc_id", "=", 57)],
+                  [("doc_id", ">=", 90)],
+                  [("doc_id", "in", [3, 97])],
+                  [("doc_id", ">", 20), ("doc_id", "<=", 30)]):
+        got = sorted(r.doc_id for r in
+                     table.read(spark, predicates=preds).collect())
+        want = sorted(r.doc_id for r in
+                      table.read(spark).filter(
+                          _pred_sql(preds)).collect())
+        assert got == want and got  # non-trivial result
+
+
+def _pred_sql(preds):
+    import functools
+    import operator
+
+    cols = []
+    for col, op, val in preds:
+        c = F.col(col)
+        cols.append(c.isin(val) if op == "in" else
+                    {"=": c == val, "<": c < val, "<=": c <= val,
+                     ">": c > val, ">=": c >= val}[op])
+    return functools.reduce(operator.and_, cols)
+
+
+def test_pruning_spans_append_snapshots(spark, table):
+    table.commit(_docs(spark, 0, 50).repartitionByRange(2, "doc_id"))
+    v1 = table.commit(
+        _docs(spark, 50, 100).repartitionByRange(2, "doc_id"),
+        mode="append")
+    plan = table.plan_files([("doc_id", ">=", 75)], version=v1)
+    assert plan["skipped_files"] >= 2  # v0's files all skipped
+    got = sorted(r.doc_id for r in table.read(
+        spark, version=v1, predicates=[("doc_id", ">=", 75)]).collect())
+    assert got == list(range(75, 100))
+
+
+def test_string_bounds_and_long_string_max_dropped(spark, table):
+    from pyspark.sql import Row
+
+    rows = [Row(k=f"{i:04d}", text="x" * 200) for i in range(40)]
+    table.commit(spark.createDataFrame(rows).repartitionByRange(4, "k"))
+    f0 = table.manifest(0)["data_files"][0]
+    assert f0["stats"]["text"]["max"] is None  # >64 chars: unbounded
+    assert len(f0["stats"]["text"]["min"]) <= 64  # prefix lower bound
+    plan = table.plan_files([("k", "<", "0005")])
+    assert plan["kept_files"] < plan["total_files"]
+    got = sorted(r.k for r in table.read(
+        spark, predicates=[("k", "<", "0005")]).collect())
+    assert got == [f"{i:04d}" for i in range(5)]
+    # Unbounded-above column never prunes on > — results still exact.
+    assert table.read(spark,
+                      predicates=[("text", ">", "w")]).count() == 40
+
+
+def test_all_null_column_file_pruned(spark, table):
+    df = _docs(spark, 0, 20).withColumn("score", F.lit(None).cast("int"))
+    table.commit(df)
+    plan = table.plan_files([("score", "=", 5)])
+    assert plan["kept_files"] == 0  # no row can satisfy a comparison
+    assert table.read(spark, predicates=[("score", "=", 5)]).count() == 0
+
+
+def test_pre_stats_manifests_read_unpruned(spark, table):
+    """Manifests committed before stats existed (no "stats" key) keep
+    every file — pruning degrades to a plain filtered read."""
+    import json
+
+    table.commit(_ranged(spark))
+    mpath = os.path.join(table.root, "snap-000000", "manifest.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    for f in man["data_files"]:
+        f.pop("stats")
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    plan = table.plan_files([("doc_id", "<", 10)])
+    assert plan["skipped_files"] == 0
+    got = sorted(r.doc_id for r in table.read(
+        spark, predicates=[("doc_id", "<", 10)]).collect())
+    assert got == list(range(10))
+
+
+def test_compact_binpacks_small_files(spark, table):
+    """Streaming-style accretion: many tiny files -> one bin-packed
+    file in a new snapshot; rows identical; the uncompacted version
+    still time-travels."""
+    table.commit(_docs(spark, 0, 30).repartition(6))
+    table.commit(_docs(spark, 30, 60).repartition(6), mode="append")
+    before = table.read(spark)
+    assert len(table.manifest(1)["data_files"]) == 12
+    v2 = table.compact(spark)  # default 128 MB target: all files small
+    m2 = table.manifest(v2)
+    assert m2["mode"] == "compact" and len(m2["data_files"]) == 1
+    assert m2["total_rows"] == 60
+    got = sorted(r.doc_id for r in table.read(spark).collect())
+    assert got == sorted(r.doc_id for r in before.collect())
+    assert len(table.manifest(1)["data_files"]) == 12  # time travel
+    # Stats survive the rewrite — pruning still plans on the new file.
+    assert "doc_id" in m2["data_files"][0]["stats"]
+
+
+def test_compact_carries_big_files_by_reference(spark, table):
+    """Files at/above the size threshold are never rewritten — their
+    manifest entries are carried verbatim (the property that makes
+    compaction O(small files), not O(table))."""
+    import json
+
+    table.commit(_docs(spark, 0, 40).repartition(4))
+    mpath = os.path.join(table.root, "snap-000000", "manifest.json")
+    with open(mpath) as fh:
+        man = json.load(fh)
+    # Doctor one file to look big so the threshold logic sees a mix.
+    man["data_files"][0]["bytes"] = 200 * 1024 * 1024
+    big_path = man["data_files"][0]["path"]
+    with open(mpath, "w") as fh:
+        json.dump(man, fh)
+    v1 = table.compact(spark)
+    paths = [f["path"] for f in table.manifest(v1)["data_files"]]
+    assert big_path in paths  # referenced, not rewritten
+    assert len(paths) == 2  # big file + one bin-packed output
+    assert table.read(spark).count() == 40
+
+
+def test_compact_noop_and_expire_reclaims_small_files(spark, table):
+    table.commit(_docs(spark, 0, 30).repartition(6))
+    table.compact(spark)
+    assert table.compact(spark) is None  # a single file: nothing to do
+    res = table.expire_snapshots(keep_last=1)
+    assert res["dropped_files"] == 6  # the pre-compaction small files
+    assert table.read(spark).count() == 30
+
+
+def test_read_published_segments_prunes_buckets(spark, tmp_path, table):
+    """The serving path: a published build is read back pruned to a
+    query's term buckets — file skipping planned from manifest stats,
+    decoded postings identical to the source index."""
+    from searchengine_spark.indexing.build import term_bucket
+    from searchengine_spark.indexing.segments import decode_postings
+    from searchengine_spark.pipeline.index_pipeline import (
+        publish_segments,
+        read_published_segments,
+        run_index_pipeline,
+        stage_segments,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(40))
+    idx = run_index_pipeline(spark, root, docs, "pub2")
+    seg = stage_segments(spark, root, idx, "pub2", block_span=16,
+                         term_buckets=8)
+    publish_segments(spark, table.root, seg, term_buckets=8,
+                     cluster_partitions=4)
+    assert table.properties()["term_buckets"] == 8
+
+    term = idx.postings.select("term").first().term
+    plan = table.plan_files([("bucket", "in", [term_bucket(term, 8)])])
+    assert plan["skipped_files"] > 0  # stats actually plan files away
+
+    served = read_published_segments(spark, table.root, terms=[term])
+    dec = decode_postings(served, [term], term_buckets=8)
+    want = idx.postings.filter(F.col("term") == term)
+    assert dec.count() == want.count() > 0
+    assert dec.select("term", "doc_id").exceptAll(
+        want.select("term", "doc_id")).count() == 0
+
+
+def test_query_published_snapshot_parity(spark, tmp_path, table):
+    """The full serve loop: publish (with corpus scalars as table
+    properties) -> read a pinned version bucket-pruned -> WAND and
+    full-decode BM25 both match querying the staged segments
+    directly."""
+    from searchengine_spark.pipeline.index_pipeline import (
+        publish_segments,
+        queryable_published,
+        read_published_segments,
+        run_index_pipeline,
+        stage_segments,
+    )
+    from searchengine_spark.queries.wand import decode_topk, wand_topk
+
+    root = str(tmp_path / "idx")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(60))
+    idx = run_index_pipeline(spark, root, docs, "pub3")
+    seg = stage_segments(spark, root, idx, "pub3", block_span=16,
+                         term_buckets=8)
+    v = publish_segments(spark, table.root, seg, term_buckets=8,
+                         corpus_stats=idx.corpus_stats,
+                         cluster_partitions=4)
+    scalars, tb = queryable_published(spark, table.root, v)
+    assert tb == 8
+    assert scalars.corpus_scalars()[0] == 60
+
+    term = (idx.postings.groupBy("term").count()
+            .orderBy(F.desc("count"), "term").first().term)
+    ident = (lambda t: t)
+    served = read_published_segments(spark, table.root, terms=[term],
+                                     version=v)
+
+    def key(rows):
+        return [(r.doc_id, round(r.score, 9)) for r in rows]
+
+    want = key(wand_topk(idx, seg, term, 5, normalize=ident,
+                         term_buckets=8).collect())
+    got_wand = key(wand_topk(scalars, served, term, 5, normalize=ident,
+                             term_buckets=8).collect())
+    got_dec = key(decode_topk(scalars, served, term, 5, normalize=ident,
+                              term_buckets=8).collect())
+    assert want and got_wand == want and got_dec == want
 
 
 def test_lineage_entries_match_footers(spark, table):
