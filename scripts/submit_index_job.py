@@ -73,7 +73,8 @@ def main() -> None:
         published = publish_segments(spark, args.publish_root, seg,
                                      note=f"build {fp}",
                                      term_buckets=args.term_buckets,
-                                     corpus_stats=index.corpus_stats)
+                                     corpus_stats=index.corpus_stats,
+                                     biword=index.biword)
     wall = time.time() - t0
 
     stages = {}

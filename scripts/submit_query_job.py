@@ -13,6 +13,11 @@ data files, not the table. Time travel serves any retained version
 Usage (spark-submit --py-files se.zip scripts/submit_query_job.py ...):
     --table-root /path/to/published  [--version N]
     --queries "new york;camping in yosemite;..."  [--k 10] [--wand]
+    --boolean    treat queries as the reference's boolean grammar
+                 (AND/OR/NOT, "phrase", [a NEAR/k b]) and serve doc_id
+                 sets instead of ranked top-k (queries/serve.py; the
+                 snapshot must be published with biword= for two-term
+                 phrase queries)
 
 Prints ONE JSON line: per-query wall + result rows (doc_id, score).
 """
@@ -34,6 +39,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--wand", action="store_true",
                     help="block-max WAND (default: full-decode scoring)")
+    ap.add_argument("--boolean", action="store_true",
+                    help="boolean-grammar queries -> doc_id sets")
+    ap.add_argument("--max-rows", type=int, default=1000,
+                    help="cap on printed doc_ids per boolean query")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,7 +57,22 @@ def main() -> None:
         read_published_segments,
     )
     from searchengine_spark.queries.ranked import query_rank_terms
+    from searchengine_spark.queries.serve import boolean_from_published
     from searchengine_spark.queries.wand import decode_topk, wand_topk
+
+    if args.boolean:
+        out = {"table_root": args.table_root, "version": args.version,
+               "path": "boolean", "queries": {}}
+        for q in [s for s in args.queries.split(";") if s.strip()]:
+            t0 = time.time()
+            res = boolean_from_published(spark, args.table_root, q,
+                                         version=args.version)
+            ids = [r[0] for r in res.limit(args.max_rows).collect()]
+            out["queries"][q] = {"wall_s": round(time.time() - t0, 3),
+                                 "doc_ids": ids}
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     scalars, term_buckets = queryable_published(
         spark, args.table_root, args.version)

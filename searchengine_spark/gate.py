@@ -843,6 +843,52 @@ def snapshot_pruned_read(spark, sf_dir):
     return tbl.read(spark, predicates=preds)
 
 
+@register(
+    "snapshot_boolean_serve",
+    # identical oracle to bool_mixed: serving from a published snapshot
+    # must return exactly what the in-memory engine returns
+    SQL_PREFIX
+    + """
+SELECT DISTINCT doc_id FROM (
+  SELECT a.doc_id FROM postings a JOIN postings b USING (doc_id)
+  WHERE a.term = 'table' AND b.term = 'scan'
+  UNION
+  SELECT doc_id FROM postings WHERE term = 'agg'
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'join')
+)
+""",
+)
+def snapshot_boolean_serve(spark, sf_dir):
+    """The boolean serving path end to end (queries/serve.py): build →
+    compress to segments → publish as a snapshot version (biword family
+    included) → answer the mixed boolean query bucket-pruned from the
+    published table. Same oracle as bool_mixed — publication must not
+    change a single doc_id."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .indexing.segments import build_segments
+    from .pipeline.index_pipeline import publish_segments
+    from .queries.serve import boolean_from_published
+
+    idx = simple_index(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "snapbool_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    seg = build_segments(idx.postings, idx.doc_stats).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(8)).cast("int"))
+    publish_segments(spark, root, seg, term_buckets=8, biword=idx.biword,
+                     cluster_partitions=4)
+    return boolean_from_published(
+        spark, root, "table scan + agg -join",
+        normalize=simple_query_term,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # 5. Training-data pipeline ops: dedup / similarity / text analysis
 #    (SURVEY.md scope extension; all engine-portable hashing via md5)
@@ -3116,8 +3162,10 @@ _BEYOND_BUDGET = (
     "html_anchor_terms",
     "graph_degrees",
     # snapshot layer: time travel holds the checked-window slot;
-    # stats-pruned scan planning is same-family.
+    # stats-pruned scan planning and the published-boolean serve loop
+    # are same-family.
     "snapshot_pruned_read",
+    "snapshot_boolean_serve",
 )
 
 

@@ -217,6 +217,32 @@ def merge_segments(base: DataFrame, delta: DataFrame,
     return base_cold.unionByName(merged_hot.select(*SEG_COLS))
 
 
+def biword_as_segments(biword: DataFrame,
+                       block_span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
+    """Encode the biword index (term "t1 t2" → doc_ids;
+    /root/reference/indexes/positionalinvertedindex.py biword map, fed
+    by main.py:413-418's two-term fast path) through the SAME segment
+    format so one published table serves the whole query surface.
+
+    Biword keys always contain a space and unigram terms never do (the
+    tokenizer splits on ' '), so the two posting families share the
+    table without a discriminator column: a term lookup can only ever
+    match its own family, and ranked/WAND reads — which look up unigram
+    terms — never touch a biword row. Positions are empty, tftd/doc
+    lengths are 1 (the fast path reads doc_ids only)."""
+    return build_segments(
+        biword.select("term", "doc_id").distinct().select(
+            "term",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(1).cast("int").alias("tftd"),
+            F.array().cast("array<int>").alias("positions"),
+            F.lit(1.0).alias("doc_length"),
+        ),
+        doc_stats=None,
+        block_span=block_span,
+    )
+
+
 DEC_SCHEMA = T.StructType(
     [
         T.StructField("doc_ids", T.ArrayType(T.LongType())),

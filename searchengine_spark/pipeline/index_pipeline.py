@@ -197,6 +197,7 @@ def publish_segments(
     cluster: bool = True,
     cluster_partitions: int | None = None,
     corpus_stats: DataFrame | None = None,
+    biword: DataFrame | None = None,
 ) -> int:
     """Commit the queryable segment table as a new snapshot of a
     ``SnapshotTable`` (sources/snapshots.py) — the north rule's
@@ -214,8 +215,49 @@ def publish_segments(
     ``read_published_segments`` can plan away the files outside a
     query's buckets (Iceberg data-file pruning). ``term_buckets`` is
     recorded as a table property so readers recover the bucket modulus
-    from the table itself."""
+    from the table itself.
+
+    ``biword`` (the index's two-term fast-path table, columns term
+    "t1 t2" + doc_id) rides in the SAME snapshot encoded through the
+    segment format (indexing/segments.biword_as_segments): biword keys
+    contain a space and unigram terms never do, so no discriminator
+    column is needed and one table version serves the reference's whole
+    query surface — boolean, phrase (biword fast path), NEAR and
+    ranked. Recorded as the ``biword`` table property so serving
+    readers know the fast path is available."""
     from ..sources.snapshots import SnapshotTable
+
+    if biword is None and mode == "append":
+        # A delta append to a table that serves the biword fast path
+        # must carry the delta's biword rows too, or two-term phrase
+        # queries silently miss every new document.
+        try:
+            parent_has_biword = SnapshotTable(table_root).properties().get(
+                "biword")
+        except (OSError, ValueError, KeyError, IndexError):
+            parent_has_biword = False
+        if parent_has_biword:
+            raise ValueError(
+                "appending to a snapshot published with the biword family "
+                "requires biword=<delta biword DataFrame> so the fast path "
+                "stays complete for the appended documents")
+
+    if biword is not None:
+        from ..indexing.segments import biword_as_segments
+
+        bw = biword_as_segments(biword)
+        if "bucket" in segments.columns:
+            if not term_buckets:
+                raise ValueError(
+                    "publish_segments(biword=...) on a bucket-partitioned "
+                    "segment set needs term_buckets= to bucket the biword "
+                    "keys with the same modulus")
+            bw = bw.withColumn(
+                "bucket",
+                F.pmod(F.crc32(F.col("term").cast("binary")),
+                       F.lit(term_buckets)).cast("int"),
+            )
+        segments = segments.unionByName(bw, allowMissingColumns=True)
 
     if cluster and "bucket" in segments.columns:
         # Explicit partition count pins the file layout (AQE may
@@ -226,6 +268,8 @@ def publish_segments(
             if cluster_partitions
             else segments.repartitionByRange("bucket"))
     props: dict = {"term_buckets": term_buckets} if term_buckets else {}
+    if biword is not None:
+        props["biword"] = True
     if corpus_stats is not None:
         # The two corpus scalars every BM25/WAND query needs ride as
         # table properties, so a serving reader needs the catalog

@@ -482,3 +482,86 @@ def test_lineage_entries_match_footers(spark, table):
     assert sum(f["rows"] for f in m["data_files"]) == 10
     # Relocatable: paths are root-relative.
     assert all(not f["path"].startswith("/") for f in m["data_files"])
+
+
+def test_boolean_served_from_snapshot_parity(spark, tmp_path, table):
+    """The boolean half of the serving path (queries/serve.py): a
+    snapshot published WITH the biword family answers the reference's
+    whole boolean grammar — AND/OR/NOT, 2-term phrase (biword fast
+    path), 3-term positional phrase, NEAR/k — with exactly the
+    in-memory engine's doc_id sets."""
+    from searchengine_spark.pipeline.index_pipeline import (
+        publish_segments,
+        run_index_pipeline,
+        stage_segments,
+    )
+    from searchengine_spark.queries.engine import boolean_query
+    from searchengine_spark.queries.serve import boolean_from_published
+
+    root = str(tmp_path / "idx")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(80))
+    idx = run_index_pipeline(spark, root, docs, "pubbool")
+    seg = stage_segments(spark, root, idx, "pubbool", block_span=16,
+                         term_buckets=8)
+    v = publish_segments(spark, table.root, seg, term_buckets=8,
+                         corpus_stats=idx.corpus_stats, biword=idx.biword,
+                         cluster_partitions=4)
+    assert table.properties()["biword"] is True
+
+    queries = [
+        "table scan",             # AND
+        "query + window",         # OR
+        "table -stream",          # AND-NOT
+        "table scan + agg -join", # mixed
+        '"table scan"',           # 2-term phrase -> biword fast path
+        '"the query plan"',       # 3-term phrase -> positional merge
+        "[table NEAR/3 scan]",    # NEAR/k
+    ]
+    nonempty = 0
+    for q in queries:
+        want = [r.doc_id for r in boolean_query(idx, q).collect()]
+        got = [r.doc_id for r in
+               boolean_from_published(spark, table.root, q,
+                                      version=v).collect()]
+        assert got == want, q
+        nonempty += bool(want)
+    assert nonempty >= 4  # the corpus really exercises the paths
+
+
+def test_boolean_serve_guards(spark, tmp_path, table):
+    """Publishing without biword: 2-term phrase raises with the
+    republish instruction (never silently swaps in positional
+    semantics); appending a delta to a biword-carrying table without
+    the delta's biword rows raises."""
+    import pytest as _pytest
+
+    from searchengine_spark.pipeline.index_pipeline import (
+        publish_segments,
+        run_index_pipeline,
+        stage_segments,
+    )
+    from searchengine_spark.queries.serve import boolean_from_published
+
+    root = str(tmp_path / "idx")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(30))
+    idx = run_index_pipeline(spark, root, docs, "pubguard")
+    seg = stage_segments(spark, root, idx, "pubguard", block_span=16,
+                         term_buckets=8)
+
+    publish_segments(spark, table.root, seg, term_buckets=8,
+                     cluster_partitions=2)
+    # other query kinds still work without the biword family
+    assert boolean_from_published(
+        spark, table.root, "table scan").count() >= 0
+    with _pytest.raises(KeyError, match="biword"):
+        boolean_from_published(spark, table.root, '"table scan"')
+
+    with_bw = publish_segments(spark, table.root, seg, term_buckets=8,
+                               biword=idx.biword, cluster_partitions=2)
+    assert boolean_from_published(
+        spark, table.root, '"table scan"', version=with_bw).count() >= 0
+    with _pytest.raises(ValueError, match="biword"):
+        publish_segments(spark, table.root, seg, mode="append",
+                         term_buckets=8, cluster_partitions=2)
