@@ -233,3 +233,39 @@ def test_merge_empty_delta_is_passthrough(spark, small_docs):
     base = _simple_segments(small_docs)
     merged = merge_segments(base, base.limit(0), superseded=None, block_span=64)
     assert _seg_rows(merged) == _seg_rows(base)
+
+
+def test_merge_preserves_biword_family(spark, small_docs):
+    """A segment table that also carries the biword family
+    (indexing/segments.biword_as_segments — space-containing keys, no
+    discriminator column) must survive a merge: merging base+delta with
+    BOTH families equals a scratch encode of the union of both
+    families, bit for bit. This is what keeps the published boolean
+    fast path correct across incremental maintenance."""
+    from searchengine_spark.indexing.segments import (
+        biword_as_segments,
+        merge_segments,
+    )
+    from searchengine_spark.indexing.simple import build_simple_index
+
+    def with_biword(docs):
+        idx = build_simple_index(docs)
+        from searchengine_spark.indexing.segments import build_segments
+
+        return build_segments(idx.postings, idx.doc_stats, block_span=64) \
+            .unionByName(biword_as_segments(idx.biword, block_span=64))
+
+    base_docs = small_docs
+    delta_docs = small_docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("fresh batch "), "text").alias("text"),
+    )
+    merged = merge_segments(with_biword(base_docs), with_biword(delta_docs),
+                            superseded=None, block_span=64)
+    scratch = with_biword(base_docs.unionByName(delta_docs))
+    assert _seg_rows(merged) == _seg_rows(scratch)
+    # both families actually present in the merged set
+    fams = merged.select(
+        F.contains(F.col("term"), F.lit(" ")).alias("bw")
+    ).distinct().collect()
+    assert {r.bw for r in fams} == {True, False}
