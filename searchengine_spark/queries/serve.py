@@ -33,6 +33,7 @@ from ..indexing.build import SparkIndex
 from ..indexing.segments import decode_postings
 from .engine import boolean_query, boolean_query_term
 from .parser import Node, parse_boolean_query
+from .ranked import query_rank_terms
 
 
 def lookup_terms(node: Node, normalize) -> set[str]:
@@ -102,3 +103,92 @@ def boolean_from_published(
         term_buckets=None,  # already decoded + term-filtered
     )
     return boolean_query(idx, query, normalize)
+
+
+def ranked_batch_from_published(
+    spark: SparkSession,
+    table_root: str,
+    queries: dict[str, str],
+    k: int = 10,
+    normalize=None,
+    version: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """Batch BM25 serving from a published snapshot — the query-log
+    replay path (queries/ranked.rank_topk_batch) re-expressed over the
+    snapshot table. Returns DataFrame(query_id, doc_id, score, rank),
+    per-query identical to ``decode_topk``/``wand_topk`` over the same
+    snapshot (same weights, same reference tie-break: score desc,
+    doc_id desc — /root/reference/main.py:463-467).
+
+    Scale shape (one Spark job for the whole batch):
+
+    * ONE bucket-pruned manifest read covering the UNION of every
+      query's terms (|union| crc32 calls driver-side; at 10^12 docs a
+      100-query batch opens ~100 buckets' files, not the table),
+    * ONE positionless decode of those terms' posting blocks,
+    * per-term dft/wqt from segment block metadata — computed
+      DataFrame-side and broadcast (no driver collect; the batch path
+      never touches the driver with anything corpus-sized),
+    * a broadcast (query_id, term, multiplicity) fan-out, one
+      partial-agged (query_id, doc_id) shuffle, then a per-query
+      window top-k (parallel across queries; no global sort).
+    """
+    from ..indexing.build import term_filter
+    from ..pipeline.index_pipeline import (queryable_published,
+                                           read_published_segments)
+    from ..sources.snapshots import SnapshotTable
+    from .wand import bm25_wdt_expr
+
+    out_schema = "query_id string, doc_id long, score double, rank int"
+    if tag is not None:
+        version = SnapshotTable(table_root).tags()[tag]
+    scalars, term_buckets = queryable_published(spark, table_root, version)
+    n_docs, avg_dl = scalars.corpus_scalars()
+
+    qt_rows = [
+        (qid, t, float(m))
+        for qid, q in queries.items()
+        for t, m in query_rank_terms(q, normalize).items()
+    ]
+    if not qt_rows:
+        return spark.createDataFrame([], out_schema)
+    qt = spark.createDataFrame(
+        qt_rows, "query_id string, term string, mult double")
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    seg = term_filter(
+        read_published_segments(spark, table_root, terms=terms,
+                                version=version),
+        terms, term_buckets)
+    # dft from block metadata alone (no decode), wqt as an expression —
+    # ≤|union terms| rows, broadcast to the scorer.
+    dft = seg.groupBy("term").agg(
+        F.sum("df_block").cast("double").alias("dft"))
+    wq = dft.withColumn(
+        "wqt",
+        F.greatest(F.lit(0.1),
+                   F.log((F.lit(float(n_docs)) - F.col("dft") + 0.5)
+                         / (F.col("dft") + 0.5))),
+    ).select("term", "wqt")
+
+    postings = decode_postings(seg, terms, term_buckets=None,
+                               with_positions=False)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.desc("doc_id"))
+    return (
+        postings.join(F.broadcast(wq), "term")
+        .join(F.broadcast(qt), "term")
+        .withColumn(
+            "contrib",
+            F.col("wqt") * F.col("mult")
+            * bm25_wdt_expr(F.col("tftd"),
+                            F.col("doc_length").cast("double"), avg_dl),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

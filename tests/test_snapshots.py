@@ -474,6 +474,62 @@ def test_query_published_snapshot_parity(spark, tmp_path, table):
     assert want and got_wand == want and got_dec == want
 
 
+def test_ranked_batch_served_from_snapshot_parity(spark, tmp_path, table):
+    """The query-log replay path over a published snapshot
+    (queries/serve.ranked_batch_from_published): one job serving a
+    whole query batch, per-query identical — doc_ids AND scores — to
+    single-query full-decode BM25 over the same snapshot version."""
+    from searchengine_spark.pipeline.index_pipeline import (
+        publish_segments,
+        queryable_published,
+        read_published_segments,
+        run_index_pipeline,
+        stage_segments,
+    )
+    from searchengine_spark.queries.serve import ranked_batch_from_published
+    from searchengine_spark.queries.wand import decode_topk
+
+    root = str(tmp_path / "idx")
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(60))
+    idx = run_index_pipeline(spark, root, docs, "pubbatch")
+    seg = stage_segments(spark, root, idx, "pubbatch", block_span=16,
+                         term_buckets=8)
+    v = publish_segments(spark, table.root, seg, term_buckets=8,
+                         corpus_stats=idx.corpus_stats,
+                         cluster_partitions=4)
+    scalars, tb = queryable_published(spark, table.root, v)
+
+    top = [r.term for r in idx.postings.groupBy("term").count()
+           .orderBy(F.desc("count"), "term").limit(4).collect()]
+    ident = (lambda t: t)
+    queries = {
+        "q_single": top[0],
+        "q_and": f"{top[1]} {top[2]}",
+        "q_repeat": f"{top[0]} {top[0]} {top[3]}",  # multiplicity 2
+    }
+
+    batch = ranked_batch_from_published(
+        spark, table.root, queries, k=5, normalize=ident,
+        version=v).collect()
+    by_q = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(
+            (r.doc_id, round(r.score, 9)))
+
+    nonempty = 0
+    for qid, q in queries.items():
+        terms = sorted(set(q.split()))
+        served = read_published_segments(spark, table.root, terms=terms,
+                                         version=v)
+        want = [(r.doc_id, round(r.score, 9)) for r in
+                decode_topk(scalars, served, q, 5, normalize=ident,
+                            term_buckets=tb).collect()]
+        assert by_q.get(qid, []) == want, qid
+        nonempty += bool(want)
+    assert nonempty == len(queries)
+
+
 def test_lineage_entries_match_footers(spark, table):
     table.commit(_docs(spark, 0, 10))
     m = table.manifest(0)
