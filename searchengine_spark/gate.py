@@ -889,6 +889,57 @@ def snapshot_boolean_serve(spark, sf_dir):
     ).select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+@register(
+    "snapshot_ranked_serve",
+    # identical oracle to rank_bm25_batch: a whole query batch served
+    # from a published snapshot must score exactly what the in-memory
+    # batch ranker scores
+    _rank_batch_sql(BATCH_RANK_QUERIES),
+)
+def snapshot_ranked_serve(spark, sf_dir):
+    """BM25 batch serving end to end
+    (queries/serve.ranked_batch_from_published): build → compress to
+    segments → publish with corpus scalars → serve the
+    rank_bm25_batch query log from the published table in ONE job
+    (union-of-terms bucket-pruned read, per-query window top-k). Same
+    oracle as rank_bm25_batch — publication must not move a score."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from .indexing.segments import build_segments
+    from .pipeline.index_pipeline import publish_segments
+    from .queries.serve import ranked_batch_from_published
+
+    idx = simple_index(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "snaprank_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(root, ignore_errors=True)
+    seg = build_segments(idx.postings, idx.doc_stats).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(8)).cast("int"))
+    publish_segments(spark, root, seg, term_buckets=8,
+                     corpus_stats=idx.corpus_stats, cluster_partitions=4)
+    top = ranked_batch_from_published(
+        spark, root, BATCH_RANK_QUERIES, k=10,
+        normalize=simple_query_term)
+    # re-rank on the quantized score (see _rank_batch_sql note)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.desc("doc_id"))
+    return (
+        top.select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _e6(F.col("score")).alias("score_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Training-data pipeline ops: dedup / similarity / text analysis
 #    (SURVEY.md scope extension; all engine-portable hashing via md5)
@@ -3166,6 +3217,7 @@ _BEYOND_BUDGET = (
     # are same-family.
     "snapshot_pruned_read",
     "snapshot_boolean_serve",
+    "snapshot_ranked_serve",
 )
 
 
