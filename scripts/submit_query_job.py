@@ -18,6 +18,11 @@ Usage (spark-submit --py-files se.zip scripts/submit_query_job.py ...):
                  sets instead of ranked top-k (queries/serve.py; the
                  snapshot must be published with biword= for two-term
                  phrase queries)
+    --batch      serve the WHOLE ranked-query set as ONE Spark job
+                 (queries/serve.ranked_batch_from_published): one
+                 bucket-pruned read of the union of terms, one decode,
+                 per-query window top-k — the query-log replay path.
+                 Mutually exclusive with --wand/--boolean.
 
 Prints ONE JSON line: per-query wall + result rows (doc_id, score).
 """
@@ -41,6 +46,8 @@ def main() -> None:
                     help="block-max WAND (default: full-decode scoring)")
     ap.add_argument("--boolean", action="store_true",
                     help="boolean-grammar queries -> doc_id sets")
+    ap.add_argument("--batch", action="store_true",
+                    help="serve all ranked queries as one Spark job")
     ap.add_argument("--max-rows", type=int, default=1000,
                     help="cap on printed doc_ids per boolean query")
     args = ap.parse_args()
@@ -70,6 +77,30 @@ def main() -> None:
             ids = [r[0] for r in res.limit(args.max_rows).collect()]
             out["queries"][q] = {"wall_s": round(time.time() - t0, 3),
                                  "doc_ids": ids}
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    if args.batch:
+        from searchengine_spark.queries.serve import (
+            ranked_batch_from_published)
+
+        queries = {f"q{i}": q for i, q in enumerate(
+            s for s in args.queries.split(";") if s.strip())}
+        t0 = time.time()
+        res = ranked_batch_from_published(
+            spark, args.table_root, queries, k=args.k,
+            version=args.version)
+        rows = res.collect()
+        wall = round(time.time() - t0, 3)
+        out = {"table_root": args.table_root, "version": args.version,
+               "k": args.k, "path": "batch", "batch_wall_s": wall,
+               "n_queries": len(queries), "queries": {}}
+        for qid, q in queries.items():
+            hits = sorted((r for r in rows if r.query_id == qid),
+                          key=lambda r: r.rank)
+            out["queries"][q] = {
+                "top": [(r.doc_id, float(r.score)) for r in hits]}
         print(json.dumps(out))
         spark.stop()
         return
