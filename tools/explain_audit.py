@@ -101,6 +101,27 @@ def main() -> None:
     merge_segments(base_seg, delta_seg, superseded=recrawl.select("doc_id"),
                    block_span=64).explain()
 
+    print("=" * 70)
+    print("BATCH SERVE FROM PUBLISHED SNAPSHOT — both scans must carry")
+    print("PushedFilters [In(bucket,...), In(term,...)]; the dft scan's")
+    print("ReadSchema is (term, df_block, bucket) ONLY (doc frequencies")
+    print("from block metadata, zero posting bytes); the decode scan has")
+    print("no positions column; WindowGroupLimit sits BELOW the final")
+    print("exchange (map-side top-k pruning)")
+    print("=" * 70)
+    from searchengine_spark.pipeline.index_pipeline import publish_segments
+    from searchengine_spark.queries.serve import ranked_batch_from_published
+
+    pub = tempfile.mkdtemp(prefix="audit_pub_")
+    seg8 = build_segments(idx.postings, idx.doc_stats).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(8)).cast("int"))
+    publish_segments(spark, pub, seg8, term_buckets=8,
+                     corpus_stats=idx.corpus_stats, cluster_partitions=4)
+    ranked_batch_from_published(
+        spark, pub, {"qa": "table scan", "qb": "merge join"}, k=10,
+        normalize=simple_query_term).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
