@@ -296,6 +296,56 @@ def start_segment_maintenance(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def publish_current(spark: SparkSession, seg_root: str, table_root: str,
+                    term_buckets: int = 64,
+                    cluster_partitions: int | None = None,
+                    note: str | None = None) -> int:
+    """Checkpoint the streaming-maintained CURRENT segment set into a
+    ``SnapshotTable`` version — the bridge from the streaming
+    maintenance loop to the published serving surface
+    (pipeline/index_pipeline.publish_segments): bucket-pruned
+    stats-planned reads, version pinning/tags/rollback, batch query-log
+    serving (queries/serve.ranked_batch_from_published), refcounted
+    expiry. Corpus scalars come from the version's doc-stats sidecar
+    (one tiny agg) and ride as table properties, exactly like a batch
+    build's publish. Returns the committed table version.
+
+    Publishing is an explicit, controlled-cadence step rather than a
+    per-micro-batch side effect on purpose: the maintenance loop
+    already rewrites the serving set once per batch, and a second
+    full write per trigger would double the stream's I/O — on a real
+    cluster the query fleet repins the serving table hourly/daily, not
+    per crawl drop. The streamed segment set carries no biword family,
+    so the published version serves ranked/WAND/boolean — two-term
+    phrase queries fall back to positional semantics only if published
+    with a biword delta; ``boolean_from_published``'s guard raises
+    otherwise rather than silently degrading."""
+    from ..pipeline.index_pipeline import publish_segments
+
+    seg, cur = read_current_segments(spark, seg_root)
+    if seg is None:
+        raise FileNotFoundError(
+            f"no committed segment version under {seg_root}")
+    corpus_stats = spark.read.parquet(
+        f"{seg_root}/v{cur['version']}/docstats"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("doc_length").alias("avg_doc_length"),
+    )
+    seg = seg.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")),
+               F.lit(term_buckets)).cast("int"),
+    )
+    return publish_segments(
+        spark, table_root, seg,
+        note=note or f"stream-maintenance v{cur['version']}",
+        term_buckets=term_buckets,
+        cluster_partitions=cluster_partitions,
+        corpus_stats=corpus_stats,
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"

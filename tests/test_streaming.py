@@ -372,3 +372,69 @@ def test_segment_maintenance_matches_compacted_index(spark, tmp_path):
                            5).collect()
     ]
     assert got_top == want_top and len(got_top) > 0
+
+
+def test_publish_current_serves_streamed_index(spark, tmp_path):
+    """streaming/ingest.publish_current bridges the maintenance loop to
+    the published serving surface: after a re-crawl lands, the snapshot
+    version it commits serves BM25 — single-query decode AND the
+    one-job batch path — rank-and-score-identical to WAND over the
+    maintained current version, with corpus scalars equal to the
+    doc-stats sidecar's."""
+    import datetime
+
+    from searchengine_spark.pipeline.index_pipeline import (
+        queryable_published,
+        read_published_segments,
+    )
+    from searchengine_spark.queries.serve import ranked_batch_from_published
+    from searchengine_spark.queries.wand import decode_topk, wand_topk
+    from searchengine_spark.streaming.ingest import (
+        current_queryable,
+        publish_current,
+        start_segment_maintenance,
+    )
+
+    inp = str(tmp_path / "in")
+    seg_root = str(tmp_path / "segs")
+    tbl_root = str(tmp_path / "tbl")
+
+    _write_pages(spark, inp, range(0, 12))
+    start_segment_maintenance(spark, inp, seg_root).awaitTermination(120)
+
+    def mutate(p):
+        if p["url"].endswith("page0003"):
+            p = dict(p, text="fresh recrawl content only",
+                     html=b"<html><body>fresh recrawl content only"
+                          b"</body></html>",
+                     warc_ts=p["warc_ts"] + datetime.timedelta(days=1))
+        return p
+
+    _write_pages(spark, inp, [3, 12, 13, 14], mutate=mutate)
+    start_segment_maintenance(spark, inp, seg_root).awaitTermination(120)
+
+    v = publish_current(spark, seg_root, tbl_root, term_buckets=8,
+                        cluster_partitions=4)
+    cur_seg, cur_scalars = current_queryable(spark, seg_root)
+    pub_scalars, tb = queryable_published(spark, tbl_root, v)
+    assert pub_scalars.corpus_scalars() == cur_scalars.corpus_scalars()
+    assert tb == 8
+
+    q = "fresh recrawl content"
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(cur_scalars, cur_seg, q, 5).collect()]
+    assert want  # the re-crawled doc is findable
+
+    pub_seg = read_published_segments(spark, tbl_root,
+                                      terms=sorted(set(q.split())),
+                                      version=v)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in decode_topk(pub_scalars, pub_seg, q, 5,
+                                term_buckets=tb).collect()]
+    assert got == want
+
+    batch = ranked_batch_from_published(
+        spark, tbl_root, {"q0": q}, k=5, version=v).collect()
+    got_batch = [(r.doc_id, round(r.score, 9))
+                 for r in sorted(batch, key=lambda r: r.rank)]
+    assert got_batch == want
