@@ -34,6 +34,29 @@ Semantics provided (and their Iceberg analogue):
   stat ranges cannot match before Spark ever lists them; the residual
   predicate is still applied as a normal DataFrame filter, so pruning
   is purely an optimization and never changes results.
+* ``read_appends(spark, from_version, to_version)`` — the incremental
+  scan (Iceberg's ``incremental append scan``): exactly the rows added
+  by the append snapshots in ``(from, to]``, resolved from manifests
+  alone.  This is what makes an O(delta) downstream refresh possible:
+  a consumer indexes ONLY the new crawl rows instead of re-reading a
+  10^12-row table to diff it.
+* ``commit(…, deletes=…, equality_columns=…)`` — row-level equality
+  deletes (Iceberg v2 merge-on-read): the delete rows are written as
+  *delete files* in the snapshot; data files they may affect are never
+  rewritten.  Every data file carries a *sequence number* (the version
+  that wrote it) and a delete file applies only to data files with a
+  LOWER sequence number — so a commit that deletes a key and re-adds
+  it in the same snapshot keeps the new row (Iceberg's sequence-number
+  rule).  ``read`` applies the deletes as seq-layered anti-joins when
+  the equality columns are table columns; index-shaped tables whose
+  delete key lives *inside* an encoded column (doc_ids inside VB
+  posting blocks) read with ``apply_deletes=False`` and apply
+  ``delete_rows`` after decoding (pipeline/refresh.py).
+* ``rewrite_deletes(spark)`` — major compaction of the delete layer:
+  rewrites only the data files an existing delete file can apply to,
+  carries newer files by reference, and commits a delete-free
+  snapshot (Iceberg ``rewrite_data_files`` + drop of the applied
+  delete files).
 
 Per-partition lineage: every manifest entry records one row per parquet
 file (task partition) with row count, byte size and row-group count,
@@ -54,6 +77,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _CURRENT = "_current.json"
@@ -109,9 +133,11 @@ class SnapshotTable:
 
     # -- write path ---------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append",
+    def commit(self, df: DataFrame | None, mode: str = "append",
                note: str | None = None,
-               properties: dict | None = None) -> int:
+               properties: dict | None = None,
+               deletes: DataFrame | None = None,
+               equality_columns: list[str] | None = None) -> int:
         """Write ``df`` as a new snapshot; returns its version.
 
         ``mode="append"`` adds the written files to the parent
@@ -120,22 +146,67 @@ class SnapshotTable:
         snapshot becomes visible only at the final atomic pointer swap.
         ``properties`` are table properties (Iceberg's): inherited from
         the parent snapshot and overridden per key.
+
+        ``deletes`` (with ``equality_columns``) writes an equality
+        delete file alongside the appended data (Iceberg v2
+        merge-on-read): rows of any OLDER sequence number matching a
+        delete row on the equality columns are dropped at read time;
+        rows written by THIS commit are unaffected, so a
+        delete-and-re-add of the same key in one commit keeps the new
+        row.  ``df=None`` commits deletes (or properties) alone.
+        Delete commits require ``mode="append"`` — an overwrite
+        discards every older row already.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode: {mode!r}")
+        if deletes is not None:
+            if not equality_columns:
+                raise ValueError(
+                    "deletes requires equality_columns naming the key "
+                    "columns the delete rows match on")
+            if mode != "append":
+                raise ValueError(
+                    "delete commits use mode='append' — an overwrite "
+                    "already discards all older rows")
+            missing = [c for c in equality_columns
+                       if c not in deletes.columns]
+            if missing:
+                raise ValueError(
+                    f"delete frame lacks equality columns {missing}")
+        if df is None and deletes is None and properties is None:
+            raise ValueError("empty commit: no data, deletes or properties")
         parent = self.current_version()
+        if df is None and parent is None:
+            raise ValueError(
+                "delete/properties-only commit needs an existing table")
         version, snap_dir = self._allocate_version()
         data_dir = os.path.join(snap_dir, "data")
 
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_dir)
+        if df is not None:
+            df.write.mode("overwrite").parquet(data_dir)
+        new_delete_files: list[dict] = []
+        if deletes is not None:
+            del_dir = os.path.join(snap_dir, "deletes")
+            deletes.select(*equality_columns).write.mode(
+                "overwrite").parquet(del_dir)
+            new_delete_files = _file_lineage(self.root, del_dir)
+            for f in new_delete_files:
+                f["seq"] = version
+                f["equality_columns"] = list(equality_columns)
         wall = time.time() - t0
 
-        new_files = _file_lineage(self.root, data_dir)
-        schema = df.schema.jsonValue()
+        new_files = _file_lineage(self.root, data_dir) \
+            if df is not None else []
+        for f in new_files:
+            f["seq"] = version
+        schema = df.schema.jsonValue() if df is not None else None
+        delete_files = new_delete_files
         if mode == "append" and parent is not None:
             pm = self.manifest(parent)
-            if pm["schema"] != schema:
+            if schema is None:
+                schema = pm["schema"]
+            elif pm["schema"] != schema:
                 # Iceberg-style additive evolution: appending with a
                 # superset schema widens the table (old files read the
                 # new nullable columns as null — Spark's by-name parquet
@@ -148,8 +219,15 @@ class SnapshotTable:
                         "is supported); use mode='overwrite' to "
                         "redefine the table")
             data_files = pm["data_files"] + new_files
+            delete_files = pm.get("delete_files", []) + new_delete_files
         else:
             data_files = new_files
+        if delete_files:
+            eq_sets = {tuple(f["equality_columns"]) for f in delete_files}
+            if len(eq_sets) > 1:
+                raise ValueError(
+                    f"mixed equality-column sets in one table: {eq_sets} "
+                    "— this layer supports one delete key per table")
 
         props = {}
         if parent is not None:
@@ -157,7 +235,7 @@ class SnapshotTable:
         props.update(properties or {})
         return self._finish_commit(version, parent, mode, note, schema,
                                    data_files, len(new_files), wall,
-                                   props)
+                                   props, delete_files)
 
     def properties(self, version: int | None = None) -> dict:
         """Table properties as of a snapshot (default: current)."""
@@ -194,7 +272,8 @@ class SnapshotTable:
 
     def _finish_commit(self, version, parent, mode, note, schema,
                        data_files, n_new, wall,
-                       properties: dict | None = None) -> int:
+                       properties: dict | None = None,
+                       delete_files: list[dict] | None = None) -> int:
         """Manifest + pointer swap shared by ``commit`` and
         ``compact`` — the snapshot becomes visible only here."""
         if self.current_version() != parent:
@@ -209,6 +288,7 @@ class SnapshotTable:
             "schema": schema,
             "properties": properties or {},
             "data_files": data_files,
+            "delete_files": delete_files or [],
             "new_files": n_new,
             "total_rows": sum(f["rows"] for f in data_files),
             "write_wall_s": round(wall, 3),
@@ -239,7 +319,9 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession, version: int | None = None,
              tag: str | None = None,
-             predicates: list[tuple] | None = None) -> DataFrame:
+             predicates: list[tuple] | None = None,
+             apply_deletes: bool = True,
+             with_seq: bool = False) -> DataFrame:
         """The table as of a snapshot (default: current) — time travel.
 
         Reads exactly the manifest's immutable file list with the
@@ -251,6 +333,14 @@ class SnapshotTable:
         min/max stats cannot satisfy the conjunction (Iceberg scan
         planning), then applies the same predicates as a DataFrame
         filter, so results are identical to filtering the full read.
+
+        Equality deletes (``commit(deletes=…)``) are applied by default
+        when their key columns are table columns; ``apply_deletes=
+        False`` returns the raw data rows (callers whose delete key is
+        inside an encoded column decode first, then apply
+        ``delete_rows``).  ``with_seq=True`` adds a ``_seq`` column
+        (the sequence number of the commit that wrote each row's file)
+        — what the post-decode delete rule keys on.
         """
         if tag is not None:
             tags = self.tags()
@@ -265,15 +355,143 @@ class SnapshotTable:
         files = man["data_files"]
         if predicates:
             files = [f for f in files if _file_may_match(f, predicates)]
-        paths = [os.path.join(self.root, f["path"]) for f in files]
         schema = StructType.fromJson(man["schema"])
-        if not paths:  # a committed empty table still reads cleanly
-            df = spark.createDataFrame([], schema)
+        delete_files = man.get("delete_files", [])
+        dele = None
+        if delete_files and apply_deletes:
+            eq_cols = delete_files[0]["equality_columns"]
+            table_cols = {f.name for f in schema.fields}
+            if not set(eq_cols) <= table_cols:
+                raise ValueError(
+                    f"this snapshot carries equality deletes on "
+                    f"{eq_cols}, which are not table columns — read "
+                    "with apply_deletes=False and apply delete_rows() "
+                    "after decoding (pipeline/refresh.py does this for "
+                    "index tables)")
+            dele = self.delete_rows(spark, version)
+
+        if dele is None and not with_seq:
+            # fast path: no merge-on-read layering needed
+            paths = [os.path.join(self.root, f["path"]) for f in files]
+            if not paths:  # a committed empty table still reads cleanly
+                df = spark.createDataFrame([], schema)
+            else:
+                df = spark.read.schema(schema).parquet(*paths)
         else:
-            df = spark.read.schema(schema).parquet(*paths)
+            # Seq-layered read: one scan per distinct sequence number
+            # (= commits since the last overwrite — bounded and small
+            # with regular compaction); a delete file applies only to
+            # data files with a LOWER seq, so each layer anti-joins the
+            # deletes strictly newer than it. Delete sets are
+            # delta-sized by assumption → broadcast.
+            by_seq: dict[int, list[str]] = {}
+            for f in files:
+                by_seq.setdefault(int(f.get("seq", 0)), []).append(
+                    os.path.join(self.root, f["path"]))
+            parts = []
+            eq_cols = delete_files[0]["equality_columns"] \
+                if delete_files else []
+            for seq in sorted(by_seq):
+                part = spark.read.schema(schema).parquet(*by_seq[seq])
+                if with_seq:
+                    part = part.withColumn(
+                        "_seq", F.lit(seq).cast("int"))
+                if dele is not None:
+                    newer = dele.filter(F.col("_seq") > seq) \
+                        .select(*eq_cols).distinct()
+                    part = part.join(F.broadcast(newer), list(eq_cols),
+                                     "left_anti")
+                parts.append(part)
+            if not parts:
+                df = spark.createDataFrame([], schema)
+                if with_seq:
+                    df = df.withColumn("_seq", F.lit(0).cast("int"))
+            else:
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
         if predicates:
             df = df.filter(_predicates_column(predicates))
         return df
+
+    def delete_rows(self, spark: SparkSession,
+                    version: int | None = None) -> DataFrame | None:
+        """The snapshot's equality-delete rows (``equality columns`` +
+        ``_seq``, the sequence number of the commit that wrote them),
+        or None when the snapshot carries no delete files.  Consumers
+        whose delete key is not a table column (index tables: doc_ids
+        live inside encoded posting blocks) read with
+        ``apply_deletes=False`` and apply this frame after decoding:
+        drop a row when a delete with the same key has ``_seq`` GREATER
+        than the row's file seq."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"empty table at {self.root}")
+        delete_files = self.manifest(version).get("delete_files", [])
+        if not delete_files:
+            return None
+        eq_cols = delete_files[0]["equality_columns"]
+        parts = []
+        for f in delete_files:
+            part = spark.read.parquet(os.path.join(self.root, f["path"]))
+            parts.append(part.select(*eq_cols).withColumn(
+                "_seq", F.lit(int(f["seq"])).cast("int")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_appends(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental scan (Iceberg's incremental append scan):
+        exactly the rows ADDED by the append snapshots in
+        ``(from_version, to_version]``, resolved from manifests alone —
+        the O(delta) input of a downstream refresh.  Raises when the
+        range contains a non-append snapshot (overwrite/compaction
+        rewrites history; there is no "appended rows" answer) or a
+        delete commit (the change set is not purely additive — consume
+        ``delete_rows`` alongside), or when ``from_version`` is not an
+        ancestor of ``to_version`` (divergent after a rollback)."""
+        if to_version is None:
+            to_version = self.current_version()
+            if to_version is None:
+                raise FileNotFoundError(f"empty table at {self.root}")
+        self.manifest(from_version)  # raises if expired/unknown
+        chain = []
+        v = to_version
+        while v is not None and v != from_version:
+            man = self.manifest(v)
+            chain.append(man)
+            v = man["parent"]
+        if v != from_version:
+            raise ValueError(
+                f"v{from_version} is not an ancestor of v{to_version} "
+                "(history diverged after a rollback?)")
+        new_paths: list[str] = []
+        for man in chain:
+            if man["mode"] != "append":
+                raise ValueError(
+                    f"snapshot v{man['version']} is mode="
+                    f"{man['mode']!r} — incremental append scan only "
+                    "spans append snapshots")
+            own = _snap_name(man["version"]) + "/deletes/"
+            if any(f["path"].startswith(own)
+                   for f in man.get("delete_files", [])):
+                raise ValueError(
+                    f"snapshot v{man['version']} carries equality "
+                    "deletes — the change set is not purely additive; "
+                    "read delete_rows() alongside read_appends")
+            parent_paths = {f["path"] for f in
+                            self.manifest(man["parent"])["data_files"]} \
+                if man["parent"] is not None else set()
+            new_paths.extend(f["path"] for f in man["data_files"]
+                             if f["path"] not in parent_paths)
+        schema = StructType.fromJson(self.manifest(to_version)["schema"])
+        if not new_paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in new_paths])
 
     def plan_files(self, predicates: list[tuple],
                    version: int | None = None) -> dict:
@@ -346,16 +564,47 @@ class SnapshotTable:
         version, snap_dir = self._allocate_version()
         data_dir = os.path.join(snap_dir, "data")
         schema = StructType.fromJson(man["schema"])
-        paths = [os.path.join(self.root, f["path"]) for f in small]
-        n_out = max(1, round(sum(f["bytes"] for f in small)
-                             / (target_mb * 1024 * 1024)))
-        t0 = time.time()
-        (spark.read.schema(schema).parquet(*paths)
-         .coalesce(n_out).write.mode("overwrite").parquet(data_dir))
-        wall = time.time() - t0
+        # Bin-pack only across files the SAME set of equality deletes
+        # applies to (a delete at seq d applies to rows with seq < d):
+        # merging across a delete boundary would re-stamp rows and
+        # silently apply/un-apply that delete. The merged file takes
+        # the max input seq — same delete class, and every FUTURE
+        # delete (seq > this commit) still applies. With no delete
+        # files there is a single class and everything can merge
+        # (Iceberg's sequence-number inheritance on rewrite).
+        del_seqs = sorted({int(f["seq"])
+                           for f in man.get("delete_files", [])})
 
-        new_files = _file_lineage(self.root, data_dir)
-        want = sum(f["rows"] for f in small)
+        def _dclass(seq: int) -> int:
+            return sum(1 for d in del_seqs if d > seq)
+
+        by_class: dict[int, list[dict]] = {}
+        for f in small:
+            by_class.setdefault(_dclass(int(f.get("seq", 0))), []).append(f)
+        t0 = time.time()
+        new_files: list[dict] = []
+        rewritten: list[dict] = []
+        for cls, group in sorted(by_class.items()):
+            if len(group) < 2:
+                big.extend(group)  # a lone small file: carry as-is
+                continue
+            paths = [os.path.join(self.root, f["path"]) for f in group]
+            n_out = max(1, round(sum(f["bytes"] for f in group)
+                                 / (target_mb * 1024 * 1024)))
+            seq = max(int(f.get("seq", 0)) for f in group)
+            sub = os.path.join(data_dir, f"class={cls}")
+            (spark.read.schema(schema).parquet(*paths)
+             .coalesce(n_out).write.mode("overwrite").parquet(sub))
+            part = _file_lineage(self.root, sub)
+            for f in part:
+                f["seq"] = seq
+            new_files.extend(part)
+            rewritten.extend(group)
+        wall = time.time() - t0
+        if not rewritten:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            return None
+        want = sum(f["rows"] for f in rewritten)
         got = sum(f["rows"] for f in new_files)
         if got != want:
             shutil.rmtree(snap_dir, ignore_errors=True)
@@ -364,9 +613,67 @@ class SnapshotTable:
                 "snapshot not committed")
         return self._finish_commit(
             version, cur, "compact",
-            note or f"binpack {len(small)} files -> {len(new_files)}",
+            note or f"binpack {len(rewritten)} files -> {len(new_files)}",
             man["schema"], big + new_files, len(new_files), wall,
-            man.get("properties", {}))
+            man.get("properties", {}), man.get("delete_files", []))
+
+    def rewrite_deletes(self, spark: SparkSession,
+                        note: str | None = None) -> int | None:
+        """Materialize the equality-delete layer (Iceberg
+        ``rewrite_data_files`` + ``rewrite_position_delete_files``):
+        data files no delete can apply to (seq ≥ every delete's seq)
+        are carried by reference; older files are read back, the
+        deletes anti-joined, and the survivors rewritten at the new
+        snapshot's seq (safe: the table is delete-free afterwards).
+        Readers pinned to older versions still see the merge-on-read
+        view.  Returns the new version, or None when the table carries
+        no delete files."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        man = self.manifest(cur)
+        delete_files = man.get("delete_files", [])
+        if not delete_files:
+            return None
+        max_del_seq = max(int(f["seq"]) for f in delete_files)
+        eq_cols = delete_files[0]["equality_columns"]
+        carry = [f for f in man["data_files"]
+                 if int(f.get("seq", 0)) >= max_del_seq]
+        rewrite = [f for f in man["data_files"]
+                   if int(f.get("seq", 0)) < max_del_seq]
+
+        version, snap_dir = self._allocate_version()
+        data_dir = os.path.join(snap_dir, "data")
+        schema = StructType.fromJson(man["schema"])
+        dele = self.delete_rows(spark, cur)
+        t0 = time.time()
+        new_files: list[dict] = []
+        if rewrite:
+            by_seq: dict[int, list[str]] = {}
+            for f in rewrite:
+                by_seq.setdefault(int(f.get("seq", 0)), []).append(
+                    os.path.join(self.root, f["path"]))
+            parts = []
+            for seq in sorted(by_seq):
+                part = spark.read.schema(schema).parquet(*by_seq[seq])
+                newer = dele.filter(F.col("_seq") > seq) \
+                    .select(*eq_cols).distinct()
+                parts.append(part.join(F.broadcast(newer), list(eq_cols),
+                                       "left_anti"))
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            merged.write.mode("overwrite").parquet(data_dir)
+            new_files = _file_lineage(self.root, data_dir)
+            for f in new_files:
+                f["seq"] = version
+        wall = time.time() - t0
+        return self._finish_commit(
+            version, cur, "rewrite",
+            note or (f"applied {len(delete_files)} delete files over "
+                     f"{len(rewrite)} data files"),
+            man["schema"], carry + new_files, len(new_files), wall,
+            man.get("properties", {}), [])
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop all but the newest ``keep_last`` snapshots (tagged and
@@ -387,6 +694,8 @@ class SnapshotTable:
         for m in hist:
             if m["version"] in keep:
                 referenced.update(f["path"] for f in m["data_files"])
+                referenced.update(f["path"]
+                                  for f in m.get("delete_files", []))
 
         dropped_files = 0
         dropped_snapshots = []
@@ -394,7 +703,7 @@ class SnapshotTable:
             v = m["version"]
             if v in keep:
                 continue
-            for f in m["data_files"]:
+            for f in m["data_files"] + m.get("delete_files", []):
                 path = f["path"]
                 # Only this snapshot's own dir is its responsibility;
                 # inherited files belong to the ancestor that wrote them.
