@@ -291,30 +291,34 @@ decode_udf = F.pandas_udf(_decode_batch, DEC_SCHEMA)
 
 def decode_postings(segments: DataFrame, terms: list[str] | None,
                     term_buckets: int | None = None,
-                    with_positions: bool = True) -> DataFrame:
+                    with_positions: bool = True,
+                    passthrough: tuple = ()) -> DataFrame:
     """Segments → exploded postings for a term set. Ranked reads pass
     ``with_positions=False`` and never touch the positions column
     (columnar projection = the reference's position-skip, R2).
     ``terms=None`` decodes EVERY segment (full-index scan — bulk
     verification / reindexing path) without collecting the vocabulary
-    to the driver."""
+    to the driver.  ``passthrough`` names extra segment columns carried
+    onto every decoded posting row (e.g. the snapshot layer's ``_seq``
+    sequence number, which the merge-on-read delete rule keys on)."""
     from .build import term_filter
 
     seg = segments if terms is None else term_filter(segments, terms, term_buckets)
+    extra = list(passthrough)
     if with_positions:
         dec = seg.withColumn(
             "d",
             decode_udf("docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
                        "doc_lengths_vb"),
         ).select(
-            "term",
+            "term", *extra,
             F.explode(
                 F.arrays_zip("d.doc_ids", "d.tftds", "d.positions",
                              "d.doc_lengths")
             ).alias("z"),
         )
         return dec.select(
-            "term",
+            "term", *extra,
             F.col("z.doc_ids").alias("doc_id"),
             F.col("z.tftds").alias("tftd"),
             F.col("z.positions").alias("positions"),
@@ -331,13 +335,13 @@ def decode_postings(segments: DataFrame, terms: list[str] | None,
             "doc_lengths_vb",
         ),
     ).select(
-        "term",
+        "term", *extra,
         F.explode(
             F.arrays_zip("d.doc_ids", "d.tftds", "d.doc_lengths")
         ).alias("z"),
     )
     return dec.select(
-        "term",
+        "term", *extra,
         F.col("z.doc_ids").alias("doc_id"),
         F.col("z.tftds").alias("tftd"),
         F.col("z.doc_lengths").alias("doc_length"),

@@ -1,0 +1,413 @@
+"""O(delta) refresh of a published index from a versioned pages table —
+the closed crawl-refresh loop the north rule's Iceberg framing implies:
+
+    pages SnapshotTable (url, warc_ts, html, text, lang)
+        v_k ──append crawl batch──▶ v_{k+1}
+                    │ read_appends(v_k, v_{k+1})   (incremental scan,
+                    ▼                               manifests only)
+    analyze ONLY the delta (url-hash doc_ids, streaming/ingest's
+    analyzer — batch and streamed indexes agree on doc identity)
+                    │
+                    ▼
+    index SnapshotTable: commit(delta segments, deletes=delta doc_ids)
+        — an Iceberg-v2 row-delta commit: the 10^12-doc base segment
+        files are NEVER rewritten; re-crawled urls are superseded by
+        an equality-delete file interpreted at decode time (the
+        sequence-number rule keeps the delta's own rows).
+
+Contrast with the two existing maintenance paths:
+
+* ``indexing/segments.merge_segments`` (copy-on-write): rewrites the
+  delta-touched (term, block) groups and republishes — bounded work,
+  but the whole segment set is written back per merge.  Right when
+  merges are infrequent and reads dominate.
+* ``streaming/ingest.start_segment_maintenance``: merge_segments per
+  micro-batch with directory versioning — right for a continuous
+  drip.
+* THIS module (merge-on-read): a refresh writes ONLY delta-sized
+  files (new segment rows + a delete file); readers reconcile.  Right
+  when refreshes are frequent relative to full rewrites — Iceberg v2
+  / Lucene-liveDocs economics.  ``rewrite_pages_index`` is the major
+  compaction that folds the accumulated layers back into a clean
+  base.
+
+Serving exactness contract (tested in tests/test_refresh.py):
+
+* ``refreshed_topk`` / ``refreshed_boolean`` — EXACT: identical rows,
+  scores and quirks to a from-scratch build over the latest crawl
+  state (dft is counted from live decoded postings; n_docs/avg_dl
+  come from the docstats companion table, which applies its deletes
+  generically).
+* ``queries/wand.wand_topk(deletes=…)`` — live docs only, exact
+  pruning, but wqt/bounds count superseded postings until the next
+  rewrite (the Lucene unmerged-index contract); after
+  ``rewrite_pages_index`` it is score-identical to a scratch build.
+
+Reference tie-in: the reference's only refresh is the REPL's full
+``:index <dir>`` rebuild (/root/reference/main.py:261-392); this is
+the at-scale replacement, with the reference's analyzer, ranking and
+tie-breaks preserved end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..indexing.segments import (
+    biword_as_segments,
+    build_segments,
+    decode_postings,
+)
+from ..sources.snapshots import SnapshotTable
+from ..streaming.ingest import (
+    STREAM_BLOCK_SPAN,
+    analyze_pages,
+    latest_per_url,
+)
+
+# Companion table (same root, its own snapshot lineage): (doc_id, url,
+# doc_length) per live doc. Its deletes ARE on a table column, so the
+# generic snapshot read reconciles it — one 3-column scan gives exact
+# corpus scalars per refresh, and url→doc_id identity for consumers.
+_DOCSTATS = "docstats"
+
+
+def _docstats_table(index_root: str) -> SnapshotTable:
+    return SnapshotTable(os.path.join(index_root, _DOCSTATS))
+
+
+def _delta_artifacts(analyzed: DataFrame, term_buckets: int,
+                     block_span: int) -> tuple[DataFrame, DataFrame]:
+    """(segment rows incl. biword family + bucket, docstats rows) for
+    an analyzed pages batch."""
+    postings = analyzed.select(
+        "doc_id",
+        F.col("doc_length").cast("int").alias("doc_length"),
+        F.explode("postings").alias("tp"),
+    ).select(
+        F.col("tp.term").alias("term"),
+        "doc_id",
+        F.size("tp.positions").cast("int").alias("tftd"),
+        F.col("tp.positions").alias("positions"),
+        "doc_length",
+    )
+    seg = build_segments(postings, doc_stats=None, block_span=block_span)
+    biword = analyzed.select(
+        "doc_id", F.explode("biwords").alias("term")
+    ).select("term", "doc_id")
+    seg = seg.unionByName(
+        biword_as_segments(biword, block_span=block_span))
+    seg = seg.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")),
+               F.lit(term_buckets)).cast("int"),
+    )
+    # Range-cluster by bucket so per-file stats stay selective and the
+    # serving read plans files away (publish_segments does the same).
+    seg = seg.repartitionByRange("bucket")
+    stats = analyzed.select(
+        "doc_id", "url", F.col("doc_length").cast("double").alias(
+            "doc_length"))
+    return seg, stats
+
+
+def _scalar_props(spark: SparkSession, index_root: str) -> dict:
+    row = (
+        _docstats_table(index_root).read(spark)
+        .agg(F.count("*").alias("n"), F.avg("doc_length").alias("avg"))
+        .collect()[0]
+    )
+    return {"n_docs": int(row["n"]), "avg_doc_length": float(row["avg"])}
+
+
+def build_pages_index(
+    spark: SparkSession,
+    pages_root: str,
+    index_root: str,
+    term_buckets: int = 64,
+    block_span: int = STREAM_BLOCK_SPAN,
+    pages_version: int | None = None,
+) -> int:
+    """Initial full build: the pages table's current (or pinned)
+    version → segments + biword + docstats, published as version 0 of
+    the index table with ``pages_version`` recorded — the watermark
+    every later ``refresh_pages_index`` resumes from.  doc_id =
+    url-hash (streaming/ingest.py's scheme): dense ranks would
+    renumber the corpus on every crawl batch."""
+    pages = SnapshotTable(pages_root)
+    if pages_version is None:
+        pages_version = pages.current_version()
+    analyzed = analyze_pages(
+        latest_per_url(pages.read(spark, version=pages_version)))
+    seg, stats = _delta_artifacts(analyzed, term_buckets, block_span)
+    _docstats_table(index_root).commit(stats, mode="overwrite",
+                                       note=f"pages v{pages_version}")
+    props = {
+        "term_buckets": term_buckets,
+        "block_span": block_span,
+        "biword": True,
+        "pages_version": pages_version,
+        **_scalar_props(spark, index_root),
+    }
+    return SnapshotTable(index_root).commit(
+        seg, mode="overwrite", note=f"full build of pages v{pages_version}",
+        properties=props)
+
+
+def refresh_pages_index(
+    spark: SparkSession,
+    pages_root: str,
+    index_root: str,
+    pages_version: int | None = None,
+) -> int:
+    """Fold the pages table's appends since the last indexed version
+    into the published index — one row-delta commit, work and bytes
+    written both O(delta):
+
+    * incremental scan of the new crawl rows (manifests only),
+    * analyze + encode ONLY those rows,
+    * equality-delete the delta's doc_ids (supersede-by-identity: a
+      re-crawled url replaces its old postings; a brand-new url's
+      delete matches nothing), re-add in the same commit — the
+      sequence-number rule keeps the new rows,
+    * docstats companion gets the same delta + deletes, then the
+      refreshed corpus scalars are re-aggregated from it (one tiny
+      3-column scan) into the index table's properties.
+
+    Returns the new index version (or the current one when the pages
+    table hasn't moved)."""
+    pages = SnapshotTable(pages_root)
+    index = SnapshotTable(index_root)
+    props = index.properties()
+    from_v = props["pages_version"]
+    if pages_version is None:
+        pages_version = pages.current_version()
+    if pages_version == from_v:
+        return index.current_version()
+
+    delta = latest_per_url(
+        pages.read_appends(spark, from_v, pages_version))
+    analyzed = analyze_pages(delta)
+    seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
+                                  props["block_span"])
+    ids = analyzed.select("doc_id")
+    _docstats_table(index_root).commit(
+        stats, deletes=ids, equality_columns=["doc_id"],
+        note=f"refresh to pages v{pages_version}")
+    new_props = {"pages_version": pages_version,
+                 **_scalar_props(spark, index_root)}
+    return index.commit(
+        seg, deletes=ids, equality_columns=["doc_id"],
+        note=f"delta refresh pages v{from_v}->v{pages_version}",
+        properties=new_props)
+
+
+def published_deletes(spark: SparkSession, index_root: str,
+                      version: int | None = None) -> DataFrame | None:
+    """(doc_id, _del_seq) — max delete seq per superseded doc, or None
+    for a delete-free snapshot.  Delta-sized; consumers broadcast it."""
+    dele = SnapshotTable(index_root).delete_rows(spark, version)
+    if dele is None:
+        return None
+    return dele.groupBy("doc_id").agg(F.max("_seq").alias("_del_seq"))
+
+
+def published_postings(
+    spark: SparkSession,
+    index_root: str,
+    terms: list[str] | None,
+    version: int | None = None,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Live decoded postings for a term set from a refreshed snapshot —
+    bucket-pruned file planning, then the sequence-number delete rule
+    post-decode (the index-table analogue of the snapshot layer's
+    generic merge-on-read read)."""
+    from ..indexing.build import term_bucket, term_filter
+    from ..queries.wand import _apply_deletes
+
+    tbl = SnapshotTable(index_root)
+    props = tbl.properties(version)
+    tb = props.get("term_buckets")
+    preds = None
+    if terms and tb:
+        buckets = sorted({term_bucket(t, tb) for t in terms})
+        preds = [("bucket", "in", buckets)]
+    dele = published_deletes(spark, index_root, version)
+    seg = tbl.read(spark, version=version, predicates=preds,
+                   apply_deletes=False, with_seq=dele is not None)
+    if terms is not None:
+        seg = term_filter(seg, terms, tb)
+    postings = decode_postings(
+        seg, terms=None, with_positions=with_positions,
+        passthrough=("_seq",) if dele is not None else ())
+    return _apply_deletes(postings, dele)
+
+
+def refreshed_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    k: int = 10,
+    normalize=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Exact BM25 top-k from a refreshed snapshot: identical scores,
+    rows and tie-breaks to a from-scratch index of the latest crawl
+    state.  dft counts LIVE postings (a per-term count over the decoded
+    frame — the decode is already paid; this is what upgrades the
+    Lucene drift contract to exactness), corpus scalars come from the
+    snapshot's properties (maintained from the docstats companion at
+    refresh time).  One job: decode → dft → wqt join → score →
+    TakeOrderedAndProject."""
+    from ..queries.ranked import query_rank_terms
+    from ..queries.wand import bm25_wdt_expr
+
+    terms = query_rank_terms(query, normalize)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    props = SnapshotTable(index_root).properties(version)
+    n_docs, avg_dl = float(props["n_docs"]), float(props["avg_doc_length"])
+
+    postings = published_postings(spark, index_root, sorted(terms),
+                                  version=version, with_positions=False)
+    mult = F.create_map(
+        *[F.lit(x) for kv in terms.items() for x in kv])
+    wq = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("double").alias("dft"))
+        .withColumn(
+            "wqt",
+            F.greatest(
+                F.lit(0.1),
+                F.log((F.lit(n_docs) - F.col("dft") + 0.5)
+                      / (F.col("dft") + 0.5))) * mult[F.col("term")])
+        .select("term", "wqt")
+    )
+    return (
+        postings.join(F.broadcast(wq), "term")
+        .withColumn(
+            "contrib",
+            F.col("wqt")
+            * bm25_wdt_expr(F.col("tftd"),
+                            F.col("doc_length").cast("double"), avg_dl),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .limit(k)
+    )
+
+
+def refreshed_boolean(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    version: int | None = None,
+    normalize=None,
+) -> DataFrame:
+    """Boolean/phrase/NEAR serving from a refreshed snapshot — the
+    merge-on-read twin of queries/serve.boolean_from_published: same
+    parse-once term planning, same biword fast-path routing, same
+    compiled engine; the only difference is the delete reconciliation
+    between decode and evaluation."""
+    from ..indexing.build import SparkIndex
+    from ..queries.engine import boolean_query, boolean_query_term
+    from ..queries.parser import parse_boolean_query
+    from ..queries.serve import lookup_terms
+
+    normalize = normalize or boolean_query_term
+    node = parse_boolean_query(query)
+    if node is None:
+        return spark.createDataFrame([], "doc_id long")
+    props = SnapshotTable(index_root).properties(version)
+    terms = lookup_terms(node, normalize)
+    if node.kind == "phrase" and len(node.term.split(" ")) == 2:
+        if not props.get("biword"):
+            raise KeyError(
+                "two-term phrase queries use the biword fast path, but "
+                "this snapshot was published without the biword family")
+        t1, t2 = node.term.split(" ")
+        terms = {normalize(t1) + " " + normalize(t2)}
+
+    postings = published_postings(spark, index_root, sorted(terms),
+                                  version=version, with_positions=True)
+    idx = SparkIndex(
+        postings=postings.filter(~F.col("term").contains(" ")),
+        doc_stats=None,
+        corpus_stats=None,
+        biword=postings.filter(F.col("term").contains(" "))
+        .select("term", "doc_id"),
+        term_buckets=None,
+    )
+    return boolean_query(idx, query, normalize)
+
+
+def refreshed_wand_topk(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    k: int = 10,
+    normalize=None,
+    version: int | None = None,
+    champion_blocks: int = 8,
+) -> DataFrame:
+    """Block-max WAND from a refreshed snapshot (bucket-pruned read +
+    the sequence-number delete rule inside the exact-score passes).
+    Serves live docs only with exact pruning; absolute scores follow
+    the Lucene unmerged-index contract until ``rewrite_pages_index``
+    (see queries/wand.wand_topk's deletes note)."""
+    from ..indexing.build import term_bucket
+    from ..queries.ranked import query_rank_terms
+    from ..queries.wand import wand_topk
+    from .index_pipeline import PublishedScalars
+
+    tbl = SnapshotTable(index_root)
+    props = tbl.properties(version)
+    tb = props.get("term_buckets")
+    terms = query_rank_terms(query, normalize)
+    preds = None
+    if terms and tb:
+        buckets = sorted({term_bucket(t, tb) for t in terms})
+        preds = [("bucket", "in", buckets)]
+    dele = published_deletes(spark, index_root, version)
+    seg = tbl.read(spark, version=version, predicates=preds,
+                   apply_deletes=False, with_seq=dele is not None)
+    scalars = PublishedScalars(float(props["n_docs"]),
+                               float(props["avg_doc_length"]))
+    return wand_topk(scalars, seg, query, k=k, normalize=normalize,
+                     term_buckets=tb, champion_blocks=champion_blocks,
+                     deletes=dele)
+
+
+def rewrite_pages_index(spark: SparkSession, index_root: str,
+                        block_span: int | None = None) -> int:
+    """Major compaction of a refreshed index (Lucene forceMerge /
+    Iceberg rewrite): decode the live postings (deletes applied),
+    rebuild clean segments, publish as an overwrite snapshot — after
+    which WAND metadata is exact again and reads are single-layer.
+    The docstats companion is rewritten with the generic
+    ``rewrite_deletes``.  Readers pinned to pre-rewrite versions keep
+    the merge-on-read view (time travel is unaffected)."""
+    index = SnapshotTable(index_root)
+    props = index.properties()
+    if block_span is None:
+        block_span = props["block_span"]
+    live = published_postings(spark, index_root, terms=None,
+                              with_positions=True)
+    seg = build_segments(live, doc_stats=None, block_span=block_span)
+    seg = seg.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("term").cast("binary")),
+               F.lit(props["term_buckets"])).cast("int"),
+    ).repartitionByRange("bucket")
+    _docstats_table(index_root).rewrite_deletes(spark)
+    new_props = {**_scalar_props(spark, index_root),
+                 "pages_version": props["pages_version"]}
+    return index.commit(
+        seg, mode="overwrite",
+        note=f"rewrite (major compaction) at pages v{props['pages_version']}",
+        properties=new_props)

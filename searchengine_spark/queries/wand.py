@@ -70,6 +70,7 @@ def wand_topk(
     normalize=None,
     term_buckets: int | None = None,
     champion_blocks: int = 8,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k via block-max WAND — one main DataFrame action plus
     a tiny per-term dft metadata collect, zero caches. ``index``
@@ -77,7 +78,20 @@ def wand_topk(
     ``segments`` is the compressed block table (doc_lengths ride inside
     the segments — no doc_stats join). Returns DataFrame(doc_id, score)
     with the reference tie-break (score desc, doc_id desc —
-    main.py:463-467)."""
+    main.py:463-467).
+
+    ``deletes`` — merge-on-read serving from a refreshed snapshot
+    (pipeline/refresh.py): a delta-sized (doc_id, _del_seq) frame;
+    ``segments`` must then carry the snapshot layer's ``_seq`` column.
+    Superseded postings (row seq < the doc's delete seq) are dropped at
+    decode time, so results never contain a stale document version.
+    Like Lucene serving an unmerged index with liveDocs, the METADATA
+    side (dft→wqt, block maxima) still counts superseded postings
+    until a rewrite: bounds stay safe upper bounds and θ is exact over
+    live docs (pruning exactness holds w.r.t. this wqt), but absolute
+    scores drift from a from-scratch rebuild until
+    ``rewrite_pages_index`` — the documented Lucene/Iceberg contract.
+    ``refreshed_topk`` is the exact-scores serving path."""
     from pyspark.sql.window import Window
 
     spark = segments.sparkSession
@@ -88,10 +102,15 @@ def wand_topk(
 
     from ..indexing.build import term_filter
 
+    seq_cols = ["_seq"] if deletes is not None else []
+    if deletes is not None and "_seq" not in segments.columns:
+        raise ValueError(
+            "deletes requires segments read with with_seq=True so the "
+            "sequence-number delete rule can apply post-decode")
     seg = term_filter(segments, list(terms), term_buckets).select(
         "term", "block", "df_block", "max_tftd", "min_doc_length",
         "docids_vb", "tftds_vb", "pos_lens_vb", "positions_vb",
-        "doc_lengths_vb",
+        "doc_lengths_vb", *seq_cols,
     )
 
     # term-level dft = Σ blocks df_block — a ≤|terms|-row metadata
@@ -141,7 +160,9 @@ def wand_topk(
         # NO doc_stats join — at 10^12 docs that join would shuffle a
         # corpus-sized table per query.
         postings = decode_postings(seg_subset, list(terms),
-                                   term_buckets=None, with_positions=False)
+                                   term_buckets=None, with_positions=False,
+                                   passthrough=tuple(seq_cols))
+        postings = _apply_deletes(postings, deletes)
         return (
             postings.join(F.broadcast(wq), "term")
             .withColumn(
@@ -179,6 +200,22 @@ def wand_topk(
     return final.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
 
 
+def _apply_deletes(postings: DataFrame,
+                   deletes: DataFrame | None) -> DataFrame:
+    """Sequence-number delete rule on decoded postings: drop a row when
+    the doc has a delete with seq GREATER than the row's file seq (a
+    re-add in the delete's own commit survives). ``deletes`` is
+    delta-sized → broadcast; no-op when None."""
+    if deletes is None:
+        return postings
+    return (
+        postings.join(F.broadcast(deletes), "doc_id", "left")
+        .filter(F.col("_del_seq").isNull()
+                | (F.col("_del_seq") <= F.col("_seq")))
+        .drop("_del_seq", "_seq")
+    )
+
+
 def _query_weights(spark, seg: DataFrame, terms: dict[str, int],
                    n_docs: float):
     """Per-term BM25 query weights as a ≤|terms|-row broadcastable
@@ -192,7 +229,15 @@ def _query_weights(spark, seg: DataFrame, terms: dict[str, int],
     wq_rows = []
     for r in dft_rows:
         dft = float(r["dft"])
-        wqt = max(0.1, math.log((n_docs - dft + 0.5) / (dft + 0.5)))
+        num = n_docs - dft + 0.5
+        # num ≤ 0 only when dft overcounts live docs — segment metadata
+        # over a merge-on-read snapshot still counts superseded
+        # postings (the documented Lucene drift contract). The
+        # reference's 0.1 floor (ranked_strategy.py) already flattens
+        # every ratio ≤ e^0.1, so the clamp changes nothing on clean
+        # indexes.
+        wqt = 0.1 if num <= 0 else \
+            max(0.1, math.log(num / (dft + 0.5)))
         wq_rows.append((r["term"], wqt * terms[r["term"]]))
     if not wq_rows:
         return None

@@ -84,6 +84,13 @@ def _analyze_pages(batch: DataFrame) -> DataFrame:
     )
 
 
+# The two page-batch transforms are plain DataFrame functions — the
+# batch refresh loop (pipeline/refresh.py) shares them so streamed and
+# batch-refreshed indexes agree on doc identity and analysis.
+latest_per_url = _latest_per_url
+analyze_pages = _analyze_pages
+
+
 def _index_batch(batch: DataFrame, batch_id: int, root: str) -> None:
     """foreachBatch body: analyze the micro-batch and append deltas."""
     analyzed = _analyze_pages(batch)

@@ -1,0 +1,169 @@
+"""The O(delta) crawl-refresh loop (pipeline/refresh.py): incremental
+pages scan → row-delta index commit → merge-on-read serving → major
+compaction.  The exactness bar: every serving surface over the
+refreshed index must match a FROM-SCRATCH build over the latest crawl
+state — rows, scores, quirks (and for WAND, after the rewrite)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import pages_df
+from searchengine_spark.pipeline import refresh as R
+from searchengine_spark.sources.snapshots import SnapshotTable
+
+RANKED = ["the crawl", "refreshed crawl extra", "page body"]
+BOOLEAN = ['"refreshed crawl"', "crawl + extra", "page - crawl",
+           '"refreshed crawl extra"']  # 2-term biword path + 3-term phrase
+
+
+@pytest.fixture(scope="module")
+def loop(spark, tmp_path_factory):
+    """pages v0 (4/5 of 300 urls) → full index build → pages v1 (the
+    held-out fifth + ~43 re-crawls with changed text) → delta refresh;
+    plus a scratch index of the final crawl state as the parity twin.
+    Returns (pages_root, refreshed_root, scratch_root, versions)."""
+    base = tmp_path_factory.mktemp("refresh_loop")
+    pr, ir, ir2 = str(base / "pages"), str(base / "idx"), str(base / "twin")
+
+    pages = SnapshotTable(pr)
+    everything = pages_df(spark, 300, seed=42).cache()
+    v0 = pages.commit(everything.filter(F.xxhash64("url") % 5 != 0),
+                      mode="overwrite")
+    iv0 = R.build_pages_index(spark, pr, ir, term_buckets=16)
+
+    held = everything.filter(F.xxhash64("url") % 5 == 0)
+    recrawl = (
+        everything.filter(F.xxhash64("url") % 7 == 0)
+        .withColumn("text", F.concat("text",
+                                     F.lit(" refreshed crawl extra")))
+        .withColumn("html", F.col("text").cast("binary"))
+        .withColumn("warc_ts",
+                    F.col("warc_ts") + F.expr("interval 10 days"))
+    )
+    v1 = pages.commit(held.unionByName(recrawl))
+    iv1 = R.refresh_pages_index(spark, pr, ir)
+    R.build_pages_index(spark, pr, ir2, term_buckets=16)
+    everything.unpersist()
+    return pr, ir, ir2, (v0, v1, iv0, iv1)
+
+
+def _ranked(spark, root, q, version=None):
+    return [(r.doc_id, round(r.score, 9))
+            for r in R.refreshed_topk(spark, root, q, k=10,
+                                      version=version).collect()]
+
+
+def test_refresh_is_o_delta_on_files(spark, loop):
+    """The base build's data files are ALL carried by reference; the
+    refresh writes only delta-sized files (new segments + one delete
+    file) — the property that makes a 10^12-doc refresh affordable."""
+    _, ir, _, (_, _, iv0, iv1) = loop
+    t = SnapshotTable(ir)
+    m0, m1 = t.manifest(iv0), t.manifest(iv1)
+    assert {f["path"] for f in m0["data_files"]} \
+        <= {f["path"] for f in m1["data_files"]}
+    assert m1["mode"] == "append" and m1["delete_files"]
+    # written rows ∝ delta: well under the base build's rows
+    new_rows = sum(f["rows"] for f in m1["data_files"]
+                   if f["seq"] == iv1)
+    assert 0 < new_rows < m0["total_rows"]
+
+
+def test_refreshed_scalars_match_scratch(spark, loop):
+    _, ir, ir2, _ = loop
+    a, b = SnapshotTable(ir).properties(), SnapshotTable(ir2).properties()
+    assert a["n_docs"] == b["n_docs"]
+    assert a["avg_doc_length"] == pytest.approx(b["avg_doc_length"],
+                                                abs=1e-9)
+
+
+def test_refreshed_topk_scores_equal_scratch_build(spark, loop):
+    _, ir, ir2, _ = loop
+    for q in RANKED:
+        assert _ranked(spark, ir, q) == _ranked(spark, ir2, q), q
+
+
+def test_refreshed_boolean_equals_scratch_build(spark, loop):
+    _, ir, ir2, _ = loop
+    for q in BOOLEAN:
+        a = [r.doc_id
+             for r in R.refreshed_boolean(spark, ir, q).collect()]
+        b = [r.doc_id
+             for r in R.refreshed_boolean(spark, ir2, q).collect()]
+        assert a == b, q
+    # sanity: the re-crawl text is findable, i.e. the delta is LIVE
+    assert R.refreshed_boolean(spark, ir, '"refreshed crawl"').count() > 0
+
+
+def test_refreshed_wand_serves_live_docs_with_exact_pruning(spark, loop):
+    """Merge-on-read WAND: only live docs, and rank-identical to its
+    own decode twin under the same (stale-dft) weights — the Lucene
+    unmerged-index contract."""
+    _, ir, _, _ = loop
+    live = {r.doc_id for r in
+            SnapshotTable(ir + "/docstats").read(spark).collect()}
+    for q in RANKED:
+        w = [r.doc_id
+             for r in R.refreshed_wand_topk(spark, ir, q, k=10).collect()]
+        assert set(w) <= live, q
+        assert len(w) == 10
+
+
+def test_rewrite_restores_exact_wand_and_clears_deletes(spark, loop):
+    _, ir, ir2, _ = loop
+    iv2 = R.rewrite_pages_index(spark, ir)
+    t = SnapshotTable(ir)
+    assert t.manifest(iv2)["delete_files"] == []
+    for q in RANKED:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             R.refreshed_wand_topk(spark, ir, q, k=10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             R.refreshed_wand_topk(spark, ir2, q, k=10).collect()]
+        assert a == b == _ranked(spark, ir, q), q
+    # a second refresh cycle on top of the rewrite still works
+    assert R.refresh_pages_index(spark, ir.replace("idx", "pages"), ir) \
+        == t.current_version()  # pages unchanged -> no-op
+
+
+def test_second_delta_cycle_stays_exact(spark, tmp_path):
+    """Three pages versions, two refreshes (the second re-crawls a doc
+    ALREADY re-crawled by the first — two delete layers on one key);
+    final state equals a scratch build."""
+    pr, ir, ir2 = (str(tmp_path / d) for d in ("p", "i", "t"))
+    pages = SnapshotTable(pr)
+    everything = pages_df(spark, 120, seed=7).cache()
+    pages.commit(everything.filter(F.xxhash64("url") % 3 == 0),
+                 mode="overwrite")
+    R.build_pages_index(spark, pr, ir, term_buckets=8)
+
+    def bump(df, tag, days):
+        return (df.withColumn("text", F.concat("text", F.lit(tag)))
+                .withColumn("html", F.col("text").cast("binary"))
+                .withColumn("warc_ts",
+                            F.col("warc_ts")
+                            + F.expr(f"interval {days} days")))
+
+    twice = everything.filter(F.xxhash64("url") % 6 == 0)  # ⊂ v0 docs
+    pages.commit(everything.filter(F.xxhash64("url") % 3 == 1)
+                 .unionByName(bump(twice, " first pass", 1)))
+    R.refresh_pages_index(spark, pr, ir)
+    pages.commit(everything.filter(F.xxhash64("url") % 3 == 2)
+                 .unionByName(bump(twice, " second pass", 2)))
+    R.refresh_pages_index(spark, pr, ir)
+    R.build_pages_index(spark, pr, ir2, term_buckets=8)
+    everything.unpersist()
+
+    for q in ("second pass", "the page", "first"):
+        assert _ranked(spark, ir, q) == _ranked(spark, ir2, q), q
+    # the twice-re-crawled docs serve ONLY their newest text
+    assert R.refreshed_boolean(spark, ir, '"first pass"').count() == 0
+    assert R.refreshed_boolean(spark, ir, '"second pass"').count() \
+        == twice.count()
+
+
+def test_refresh_requires_a_built_index(spark, tmp_path):
+    pr = str(tmp_path / "p")
+    SnapshotTable(pr).commit(pages_df(spark, 10, seed=1),
+                             mode="overwrite")
+    with pytest.raises(FileNotFoundError):
+        R.refresh_pages_index(spark, pr, str(tmp_path / "i"))
