@@ -140,21 +140,32 @@ def build_pages_index(
     pages = SnapshotTable(pages_root)
     if pages_version is None:
         pages_version = pages.current_version()
+    # persist: three downstream actions consume the analyzed frame (the
+    # docstats commit, and the postings + biword branches of the index
+    # commit) — without it the Arrow analyzer (the expensive stage) and
+    # the latest_per_url shuffle re-run once per action (measured 3x
+    # build wall at 400k docs). Spills to disk when it outgrows memory;
+    # at cluster scale the checkpointed pipeline stages to storage
+    # instead.
     analyzed = analyze_pages(
-        latest_per_url(pages.read(spark, version=pages_version)))
-    seg, stats = _delta_artifacts(analyzed, term_buckets, block_span)
-    _docstats_table(index_root).commit(stats, mode="overwrite",
-                                       note=f"pages v{pages_version}")
-    props = {
-        "term_buckets": term_buckets,
-        "block_span": block_span,
-        "biword": True,
-        "pages_version": pages_version,
-        **_scalar_props(spark, index_root),
-    }
-    return SnapshotTable(index_root).commit(
-        seg, mode="overwrite", note=f"full build of pages v{pages_version}",
-        properties=props)
+        latest_per_url(pages.read(spark, version=pages_version))).persist()
+    try:
+        seg, stats = _delta_artifacts(analyzed, term_buckets, block_span)
+        _docstats_table(index_root).commit(stats, mode="overwrite",
+                                           note=f"pages v{pages_version}")
+        props = {
+            "term_buckets": term_buckets,
+            "block_span": block_span,
+            "biword": True,
+            "pages_version": pages_version,
+            **_scalar_props(spark, index_root),
+        }
+        return SnapshotTable(index_root).commit(
+            seg, mode="overwrite",
+            note=f"full build of pages v{pages_version}",
+            properties=props)
+    finally:
+        analyzed.unpersist()
 
 
 def refresh_pages_index(
@@ -190,19 +201,25 @@ def refresh_pages_index(
 
     delta = latest_per_url(
         pages.read_appends(spark, from_v, pages_version))
-    analyzed = analyze_pages(delta)
-    seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
-                                  props["block_span"])
-    ids = analyzed.select("doc_id")
-    _docstats_table(index_root).commit(
-        stats, deletes=ids, equality_columns=["doc_id"],
-        note=f"refresh to pages v{pages_version}")
-    new_props = {"pages_version": pages_version,
-                 **_scalar_props(spark, index_root)}
-    return index.commit(
-        seg, deletes=ids, equality_columns=["doc_id"],
-        note=f"delta refresh pages v{from_v}->v{pages_version}",
-        properties=new_props)
+    # persist: five actions consume the analyzed delta (docstats rows +
+    # deletes, index postings/biword branches + deletes) — same
+    # recompute hazard as build_pages_index, delta-sized here.
+    analyzed = analyze_pages(delta).persist()
+    try:
+        seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
+                                      props["block_span"])
+        ids = analyzed.select("doc_id")
+        _docstats_table(index_root).commit(
+            stats, deletes=ids, equality_columns=["doc_id"],
+            note=f"refresh to pages v{pages_version}")
+        new_props = {"pages_version": pages_version,
+                     **_scalar_props(spark, index_root)}
+        return index.commit(
+            seg, deletes=ids, equality_columns=["doc_id"],
+            note=f"delta refresh pages v{from_v}->v{pages_version}",
+            properties=new_props)
+    finally:
+        analyzed.unpersist()
 
 
 def published_deletes(spark: SparkSession, index_root: str,
