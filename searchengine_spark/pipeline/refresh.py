@@ -208,7 +208,12 @@ def refresh_pages_index(
     try:
         seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
                                       props["block_span"])
-        ids = analyzed.select("doc_id")
+        # Delete rows are 8 bytes each; left at the analyzer's
+        # partitioning they fan out into per-partition near-empty files
+        # (measured: 33 files for 36 rows) that every merge-on-read
+        # scan must open. Coalesce to a few writer tasks — even a
+        # 10^9-doc delta is ~1 GB/file at 8.
+        ids = analyzed.select("doc_id").coalesce(8)
         _docstats_table(index_root).commit(
             stats, deletes=ids, equality_columns=["doc_id"],
             note=f"refresh to pages v{pages_version}")
@@ -398,6 +403,65 @@ def refreshed_wand_topk(
     return wand_topk(scalars, seg, query, k=k, normalize=normalize,
                      term_buckets=tb, champion_blocks=champion_blocks,
                      deletes=dele)
+
+
+def maintenance_stats(index_root: str) -> dict:
+    """Metadata-only accounting of the merge-on-read debt a refreshed
+    index has accumulated since its last base (overwrite) snapshot —
+    read from the current manifest alone, no Spark job, no data scan
+    (the way Iceberg's maintenance procedures budget a rewrite from
+    manifest row counts, not matched-delete counts):
+
+    * ``delta_commits`` — distinct append seqs layered on the base;
+      every one is an extra delete layer the read side reconciles.
+    * ``delete_rows`` — rows across all live equality-delete files.
+      An UPPER bound on superseded docs: each refresh deletes its
+      whole delta's doc_ids, and a brand-new url's delete matches
+      nothing.
+    * ``delete_ratio`` — delete_rows / live docs (properties n_docs).
+    * ``data_files`` / ``delete_files`` — live file counts (small-file
+      pressure from many delta commits shows up here).
+    """
+    tbl = SnapshotTable(index_root)
+    man = tbl.manifest(tbl.current_version())
+    seqs = sorted({f["seq"] for f in man["data_files"]})
+    delete_rows = sum(f["rows"] for f in man.get("delete_files", []))
+    n_docs = int(man.get("properties", {}).get("n_docs", 0))
+    return {
+        "version": man["version"],
+        "delta_commits": max(0, len(seqs) - 1),
+        "data_files": len(man["data_files"]),
+        "delete_files": len(man.get("delete_files", [])),
+        "delete_rows": delete_rows,
+        "live_docs": n_docs,
+        "delete_ratio": delete_rows / n_docs if n_docs else 0.0,
+    }
+
+
+def maybe_rewrite_pages_index(
+    spark: SparkSession,
+    index_root: str,
+    max_delete_ratio: float = 0.2,
+    max_delta_commits: int = 8,
+) -> tuple[bool, int, dict]:
+    """Run the major compaction only when the accumulated
+    merge-on-read debt crosses a threshold — the maintenance policy a
+    scheduled crawl-refresh job calls after every refresh (Iceberg's
+    rewrite_data_files-on-delete-ratio economics: a rewrite costs a
+    full live-postings pass, so it must be amortized over many O(delta)
+    refreshes).  Thresholds are metadata-only (``maintenance_stats``);
+    defaults compact when superseded-or-new doc deletes exceed 20% of
+    live docs or more than 8 delta layers have stacked up — past
+    either, per-read reconcile work (delete broadcast + seq filter per
+    layer) and WAND's stale-bound slack stop being cheap.
+
+    Returns ``(compacted, current_version, stats_before)``.
+    """
+    stats = maintenance_stats(index_root)
+    if (stats["delete_ratio"] > max_delete_ratio
+            or stats["delta_commits"] > max_delta_commits):
+        return True, rewrite_pages_index(spark, index_root), stats
+    return False, stats["version"], stats
 
 
 def rewrite_pages_index(spark: SparkSession, index_root: str,

@@ -167,3 +167,98 @@ def test_refresh_requires_a_built_index(spark, tmp_path):
                              mode="overwrite")
     with pytest.raises(FileNotFoundError):
         R.refresh_pages_index(spark, pr, str(tmp_path / "i"))
+
+
+def _bump(df, tag, days):
+    return (df.withColumn("text", F.concat("text", F.lit(tag)))
+            .withColumn("html", F.col("text").cast("binary"))
+            .withColumn("warc_ts",
+                        F.col("warc_ts") + F.expr(f"interval {days} days")))
+
+
+def test_maintenance_policy_compacts_only_past_threshold(spark, tmp_path):
+    """The scheduled-job maintenance loop: metadata-only debt
+    accounting, no-op below the thresholds, compaction past them —
+    and the compacted index still serves a scratch build's answers."""
+    pr, ir, ir2 = (str(tmp_path / d) for d in ("p", "i", "t"))
+    pages = SnapshotTable(pr)
+    everything = pages_df(spark, 120, seed=11).cache()
+    pages.commit(everything.filter(F.xxhash64("url") % 3 == 0),
+                 mode="overwrite")
+    R.build_pages_index(spark, pr, ir, term_buckets=8)
+
+    s0 = R.maintenance_stats(ir)
+    assert (s0["delta_commits"], s0["delete_rows"],
+            s0["delete_ratio"]) == (0, 0, 0.0)
+    compacted, v, _ = R.maybe_rewrite_pages_index(spark, ir)
+    assert not compacted and v == SnapshotTable(ir).current_version()
+
+    pages.commit(everything.filter(F.xxhash64("url") % 3 == 1)
+                 .unionByName(_bump(
+                     everything.filter(F.xxhash64("url") % 6 == 0),
+                     " recrawl", 1)))
+    R.refresh_pages_index(spark, pr, ir)
+    s1 = R.maintenance_stats(ir)
+    assert s1["delta_commits"] == 1 and s1["delete_files"] >= 1
+    assert s1["delete_rows"] > 0 and 0 < s1["delete_ratio"] < 1
+    assert s1["live_docs"] == SnapshotTable(ir + "/docstats") \
+        .read(spark).count()
+
+    # loose thresholds: the debt is tolerable, stay merge-on-read
+    compacted, v_noop, _ = R.maybe_rewrite_pages_index(
+        spark, ir, max_delete_ratio=0.99, max_delta_commits=8)
+    assert not compacted \
+        and SnapshotTable(ir).manifest(v_noop)["mode"] == "append"
+
+    # tight layer budget: 1 delta commit > 0 allowed -> rewrite
+    compacted, v2, before = R.maybe_rewrite_pages_index(
+        spark, ir, max_delete_ratio=0.99, max_delta_commits=0)
+    assert compacted and before == s1
+    man = SnapshotTable(ir).manifest(v2)
+    assert man["mode"] == "overwrite" and man["delete_files"] == []
+    assert R.maintenance_stats(ir)["delta_commits"] == 0
+
+    R.build_pages_index(spark, pr, ir2, term_buckets=8)
+    everything.unpersist()
+    for q in ("recrawl", "the page"):
+        assert _ranked(spark, ir, q) == _ranked(spark, ir2, q), q
+
+
+def test_submit_refresh_job_init_then_refresh(spark, tmp_path, capsys):
+    """The spark-submit driver end to end (session injected): --init
+    base build, then a refresh run whose commit accounting shows
+    O(delta) bytes and whose maintenance check ran."""
+    import sys as _sys
+    _sys.path.insert(0, "scripts")
+    from submit_refresh_job import main as job
+
+    pr, ir = str(tmp_path / "p"), str(tmp_path / "i")
+    pages = SnapshotTable(pr)
+    everything = pages_df(spark, 100, seed=3).cache()
+    pages.commit(everything.filter(F.xxhash64("url") % 4 != 0),
+                 mode="overwrite")
+
+    out0 = job(["--pages-root", pr, "--index-root", ir, "--init",
+                "--term-buckets", "8"], spark=spark)
+    assert out0["phase"] == "init" \
+        and out0["index_version_before"] is None
+    assert out0["commit"]["mode"] == "overwrite"
+    assert not out0["maintenance"]["compacted"]
+    json_line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    assert _json.loads(json_line)["index_version"] == out0["index_version"]
+
+    pages.commit(everything.filter(F.xxhash64("url") % 4 == 0))
+    everything.unpersist()
+    out1 = job(["--pages-root", pr, "--index-root", ir], spark=spark)
+    assert out1["phase"] == "refresh"
+    assert out1["index_version"] > out0["index_version"]
+    c = out1["commit"]
+    assert c["mode"] == "append" and c["new_delete_files"] >= 1
+    assert 0 < c["bytes_written"] < c["table_data_bytes"]
+    assert out1["maintenance"]["stats_before"]["delta_commits"] == 1
+
+    # --init refuses to clobber an existing table
+    with pytest.raises(SystemExit):
+        job(["--pages-root", pr, "--index-root", ir, "--init"],
+            spark=spark)
