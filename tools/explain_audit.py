@@ -122,6 +122,34 @@ def main() -> None:
         spark, pub, {"qa": "table scan", "qb": "merge join"}, k=10,
         normalize=simple_query_term).explain("formatted")
 
+    print("=" * 70)
+    print("MERGE-ON-READ REFRESH TOP-K — the pruned-file scan list must")
+    print("only contain the query buckets' files (planned from manifest")
+    print("stats, so no In(bucket) filter remains to push); the delete")
+    print("reconcile must be a BroadcastHashJoin (delete side is")
+    print("delta-sized); the final top-k is TakeOrderedAndProject")
+    print("=" * 70)
+    import searchengine_spark.pipeline.refresh as R
+    from searchengine_spark.corpus import pages_df
+    from searchengine_spark.sources.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="audit_refresh_")
+    pr, ir = f"{root}/pages", f"{root}/idx"
+    pages = SnapshotTable(pr)
+    base = pages_df(spark, 300, seed=42, partitions=4)
+    pages.commit(base, mode="overwrite", note="crawl v0")
+    R.build_pages_index(spark, pr, ir, term_buckets=16)
+    recrawl = (
+        base.limit(20)
+        .withColumn("text", F2.concat("text", F2.lit(" refreshed")))
+        .withColumn("html", F2.col("text").cast("binary"))
+        .withColumn("warc_ts",
+                    F2.col("warc_ts") + F2.expr("interval 10 days"))
+    )
+    pages.commit(recrawl, note="crawl v1 re-crawl")
+    R.refresh_pages_index(spark, pr, ir)
+    R.refreshed_topk(spark, ir, "table scan", k=10).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
