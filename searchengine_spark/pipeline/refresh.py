@@ -60,13 +60,10 @@ from ..indexing.segments import (
     biword_as_segments,
     build_segments,
     decode_postings,
+    hash_block_span,
 )
 from ..sources.snapshots import SnapshotTable
-from ..streaming.ingest import (
-    STREAM_BLOCK_SPAN,
-    analyze_pages,
-    latest_per_url,
-)
+from ..streaming.ingest import analyze_pages
 
 # Companion table (same root, its own snapshot lineage): (doc_id, url,
 # doc_length) per live doc. Its deletes ARE on a table column, so the
@@ -128,7 +125,7 @@ def build_pages_index(
     pages_root: str,
     index_root: str,
     term_buckets: int = 64,
-    block_span: int = STREAM_BLOCK_SPAN,
+    block_span: int | None = None,
     pages_version: int | None = None,
 ) -> int:
     """Initial full build: the pages table's current (or pinned)
@@ -136,7 +133,9 @@ def build_pages_index(
     the index table with ``pages_version`` recorded — the watermark
     every later ``refresh_pages_index`` resumes from.  doc_id =
     url-hash (streaming/ingest.py's scheme): dense ranks would
-    renumber the corpus on every crawl batch."""
+    renumber the corpus on every crawl batch.  ``block_span`` defaults
+    to :func:`hash_block_span` of the corpus size (~512 docs/block in
+    hash-id space); refresh/merge/rewrite reuse the recorded span."""
     pages = SnapshotTable(pages_root)
     if pages_version is None:
         pages_version = pages.current_version()
@@ -147,9 +146,13 @@ def build_pages_index(
     # build wall at 400k docs). Spills to disk when it outgrows memory;
     # at cluster scale the checkpointed pipeline stages to storage
     # instead.
+    # analyze_pages applies latest_per_url itself — no outer call, or
+    # the url window shuffle+sort runs twice.
     analyzed = analyze_pages(
-        latest_per_url(pages.read(spark, version=pages_version))).persist()
+        pages.read(spark, version=pages_version)).persist()
     try:
+        if block_span is None:
+            block_span = hash_block_span(analyzed.count())
         seg, stats = _delta_artifacts(analyzed, term_buckets, block_span)
         _docstats_table(index_root).commit(stats, mode="overwrite",
                                            note=f"pages v{pages_version}")
@@ -199,11 +202,11 @@ def refresh_pages_index(
     if pages_version == from_v:
         return index.current_version()
 
-    delta = latest_per_url(
-        pages.read_appends(spark, from_v, pages_version))
+    delta = pages.read_appends(spark, from_v, pages_version)
     # persist: five actions consume the analyzed delta (docstats rows +
     # deletes, index postings/biword branches + deletes) — same
     # recompute hazard as build_pages_index, delta-sized here.
+    # (analyze_pages applies latest_per_url itself.)
     analyzed = analyze_pages(delta).persist()
     try:
         seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
@@ -476,7 +479,10 @@ def rewrite_pages_index(spark: SparkSession, index_root: str,
     index = SnapshotTable(index_root)
     props = index.properties()
     if block_span is None:
-        block_span = props["block_span"]
+        # Re-derive the span for the corpus the table holds NOW — the
+        # one moment re-blocking is free (everything is decoded and
+        # re-encoded anyway). Properties carry the new span forward.
+        block_span = hash_block_span(int(props["n_docs"]))
     live = published_postings(spark, index_root, terms=None,
                               with_positions=True)
     seg = build_segments(live, doc_stats=None, block_span=block_span)
@@ -487,6 +493,7 @@ def rewrite_pages_index(spark: SparkSession, index_root: str,
     ).repartitionByRange("bucket")
     _docstats_table(index_root).rewrite_deletes(spark)
     new_props = {**_scalar_props(spark, index_root),
+                 "block_span": block_span,
                  "pages_version": props["pages_version"]}
     return index.commit(
         seg, mode="overwrite",

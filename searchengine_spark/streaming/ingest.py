@@ -175,6 +175,11 @@ def compact_index(spark: SparkSession, root: str) -> SparkIndex:
 # slice of the 63-bit space: 2^48 ids per block → 32768 blocks, each
 # holding ~n_docs/32768 docs in expectation. Bounded groups without
 # coordination — no sequence assignment over an unbounded stream.
+# This default targets ~512 docs/block at a 1.6e7-doc stream; a stream
+# with a known eventual size should pass
+# indexing.segments.hash_block_span(expected_n_docs) instead (batch
+# builds via pipeline/refresh.build_pages_index derive it from the
+# actual corpus count, and major compaction re-derives it).
 STREAM_BLOCK_SPAN = 1 << 48
 
 
