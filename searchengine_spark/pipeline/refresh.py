@@ -77,9 +77,11 @@ def _docstats_table(index_root: str) -> SnapshotTable:
 
 
 def _delta_artifacts(analyzed: DataFrame, term_buckets: int,
-                     block_span: int) -> tuple[DataFrame, DataFrame]:
-    """(segment rows incl. biword family + bucket, docstats rows) for
-    an analyzed pages batch."""
+                     block_span: int
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(segment rows incl. biword family + bucket, docstats rows,
+    persisted encode handle) for an analyzed pages batch.  Callers
+    must ``unpersist()`` the third frame once the commit lands."""
     postings = analyzed.select(
         "doc_id",
         F.col("doc_length").cast("int").alias("doc_length"),
@@ -104,11 +106,18 @@ def _delta_artifacts(analyzed: DataFrame, term_buckets: int,
     )
     # Range-cluster by bucket so per-file stats stay selective and the
     # serving read plans files away (publish_segments does the same).
-    seg = seg.repartitionByRange("bucket")
+    # persist first: repartitionByRange SAMPLES its input to place the
+    # range boundaries, which would run the VB-encode subtree twice
+    # (sample pass + real shuffle — measured 2x encode wall per
+    # commit). Caching the already-encoded rows makes it one encode;
+    # the cached frame is compressed segments, far smaller than the
+    # exploded postings.
+    encoded = seg.persist()
+    seg = encoded.repartitionByRange("bucket")
     stats = analyzed.select(
         "doc_id", "url", F.col("doc_length").cast("double").alias(
             "doc_length"))
-    return seg, stats
+    return seg, stats, encoded
 
 
 def _scalar_props(spark: SparkSession, index_root: str) -> dict:
@@ -150,10 +159,12 @@ def build_pages_index(
     # the url window shuffle+sort runs twice.
     analyzed = analyze_pages(
         pages.read(spark, version=pages_version)).persist()
+    encoded = None
     try:
         if block_span is None:
             block_span = hash_block_span(analyzed.count())
-        seg, stats = _delta_artifacts(analyzed, term_buckets, block_span)
+        seg, stats, encoded = _delta_artifacts(analyzed, term_buckets,
+                                               block_span)
         _docstats_table(index_root).commit(stats, mode="overwrite",
                                            note=f"pages v{pages_version}")
         props = {
@@ -168,6 +179,8 @@ def build_pages_index(
             note=f"full build of pages v{pages_version}",
             properties=props)
     finally:
+        if encoded is not None:
+            encoded.unpersist()
         analyzed.unpersist()
 
 
@@ -208,9 +221,10 @@ def refresh_pages_index(
     # recompute hazard as build_pages_index, delta-sized here.
     # (analyze_pages applies latest_per_url itself.)
     analyzed = analyze_pages(delta).persist()
+    encoded = None
     try:
-        seg, stats = _delta_artifacts(analyzed, props["term_buckets"],
-                                      props["block_span"])
+        seg, stats, encoded = _delta_artifacts(
+            analyzed, props["term_buckets"], props["block_span"])
         # Delete rows are 8 bytes each; left at the analyzer's
         # partitioning they fan out into per-partition near-empty files
         # (measured: 33 files for 36 rows) that every merge-on-read
@@ -227,6 +241,8 @@ def refresh_pages_index(
             note=f"delta refresh pages v{from_v}->v{pages_version}",
             properties=new_props)
     finally:
+        if encoded is not None:
+            encoded.unpersist()
         analyzed.unpersist()
 
 
@@ -299,6 +315,16 @@ def refreshed_topk(
 
     postings = published_postings(spark, index_root, sorted(terms),
                                   version=version, with_positions=False)
+    # Materialize the pruned, delete-reconciled decode ONCE — the plan
+    # audit (tools/explain_audit.py, PERF.md) showed it running twice:
+    # the exact-dft aggregate and the scoring join each re-ran the
+    # bucket scan + VB decode. The frame is bounded by the query
+    # terms' posting lists, so an executor-local checkpoint is cheap,
+    # and the dft aggregate stays a partial agg over the checkpointed
+    # partitions (head-term skew handling unchanged). localCheckpoint
+    # trades fault re-compute for latency — the right side of the
+    # trade for a per-query serving path.
+    postings = postings.localCheckpoint(eager=True)
     mult = F.create_map(
         *[F.lit(x) for kv in terms.items() for x in kv])
     wq = (
@@ -485,17 +511,25 @@ def rewrite_pages_index(spark: SparkSession, index_root: str,
         block_span = hash_block_span(int(props["n_docs"]))
     live = published_postings(spark, index_root, terms=None,
                               with_positions=True)
-    seg = build_segments(live, doc_stats=None, block_span=block_span)
-    seg = seg.withColumn(
+    # persist before the range shuffle: its boundary-sampling pass
+    # would otherwise run the decode→re-encode subtree (the whole cost
+    # of a compaction) twice — see _delta_artifacts.
+    encoded = build_segments(live, doc_stats=None,
+                             block_span=block_span).withColumn(
         "bucket",
         F.pmod(F.crc32(F.col("term").cast("binary")),
                F.lit(props["term_buckets"])).cast("int"),
-    ).repartitionByRange("bucket")
-    _docstats_table(index_root).rewrite_deletes(spark)
-    new_props = {**_scalar_props(spark, index_root),
-                 "block_span": block_span,
-                 "pages_version": props["pages_version"]}
-    return index.commit(
-        seg, mode="overwrite",
-        note=f"rewrite (major compaction) at pages v{props['pages_version']}",
-        properties=new_props)
+    ).persist()
+    try:
+        seg = encoded.repartitionByRange("bucket")
+        _docstats_table(index_root).rewrite_deletes(spark)
+        new_props = {**_scalar_props(spark, index_root),
+                     "block_span": block_span,
+                     "pages_version": props["pages_version"]}
+        return index.commit(
+            seg, mode="overwrite",
+            note="rewrite (major compaction) at pages "
+                 f"v{props['pages_version']}",
+            properties=new_props)
+    finally:
+        encoded.unpersist()
