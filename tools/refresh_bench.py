@@ -47,7 +47,7 @@ sys.path.insert(0, ".")
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 DELTA_PCT = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
 N_QUERIES = 12
-OUT = "BENCH_dev_refresh_r4.json"
+OUT = sys.argv[3] if len(sys.argv) > 3 else "BENCH_dev_refresh_r4.json"
 ROOT = "/tmp/refresh_bench"
 
 
