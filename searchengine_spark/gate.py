@@ -3233,6 +3233,124 @@ def graph_degrees(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Lexicon query operators (queries/lexicon.py): wildcard terms via the
+# k-gram index, did-you-mean via the SymSpell deletion index. The oracle
+# side deliberately uses a DIFFERENT mechanism (LIKE / a full
+# levenshtein cross join) than the engine (k-gram conjunction + regex /
+# deletion-key join), so the gate checks the index constructions, not
+# just the formulas.
+# ---------------------------------------------------------------------------
+
+_WILDCARD_PATTERNS = ("s*", "st*m", "*er", "sma*")
+
+_SQL_VOCAB_CTE = """
+, vocab AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term
+)
+"""
+
+
+@register(
+    "wildcard_expand",
+    SQL_PREFIX
+    + _SQL_VOCAB_CTE
+    + """
+, pats(pattern) AS (VALUES """
+    + ", ".join(f"('{p}')" for p in _WILDCARD_PATTERNS)
+    + """)
+SELECT p.pattern, v.term, v.df
+FROM pats p JOIN vocab v ON v.term LIKE replace(p.pattern, '*', '%')
+""",
+)
+def wildcard_expand(spark, sf_dir):
+    """Wildcard term expansion (IIR 3.2): k-gram-index candidate
+    conjunction + regex post-filter must equal a plain LIKE scan of the
+    vocabulary. Patterns cover prefix, mid-star, suffix (regex-fallback
+    path: '*er' yields no left-anchored gram conjunction win but 'er$'
+    is a gram), and a prefix longer than k."""
+    from .queries.lexicon import expand_wildcard, kgram_index
+
+    idx = simple_index(spark, sf_dir)
+    vocab = idx.postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    kg = kgram_index(vocab)
+    out = None
+    for pat in _WILDCARD_PATTERNS:
+        e = expand_wildcard(vocab, pat, kgrams=kg).select(
+            F.lit(pat).alias("pattern"), "term", "df"
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+@register(
+    "bool_wildcard",
+    SQL_PREFIX
+    + """
+SELECT DISTINCT doc_id FROM postings WHERE term LIKE 's%'
+""",
+)
+def bool_wildcard(spark, sf_dir):
+    """Wildcard term literal as a retrieval operator: the OR over the
+    k-gram expansion of 's*', joined against the postings (expansion->
+    postings join, not an isin literal — the expansion can be thousands
+    of terms at web vocabulary)."""
+    from .queries.lexicon import wildcard_docs
+
+    idx = simple_index(spark, sf_dir)
+    vocab = idx.postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return wildcard_docs(idx.postings, vocab, "s*").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+_SPELL_QUERY_TERMS = ("scann", "tble", "sow", "ket", "qery", "spark", "zzz")
+
+
+@register(
+    "spell_correct",
+    SQL_PREFIX
+    + _SQL_VOCAB_CTE
+    + """
+, q(query_term) AS (VALUES """
+    + ", ".join(f"('{t}')" for t in _SPELL_QUERY_TERMS)
+    + """)
+, cand AS (
+  SELECT q.query_term, v.term, v.df,
+         levenshtein(q.query_term, v.term) AS dist
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(q.query_term, v.term) <= 1
+)
+SELECT query_term, term AS suggestion, df
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_term ORDER BY dist, df DESC, term
+  ) AS rn FROM cand
+) t WHERE rn = 1
+""",
+)
+def spell_correct_gate(spark, sf_dir):
+    """Did-you-mean over the index vocabulary: the SymSpell
+    deletion-neighborhood join (+ exact levenshtein post-filter) must
+    equal the oracle's full levenshtein cross join — i.e. the delete-1
+    key set is complete for distance 1. Query terms cover deletion,
+    insertion, substitution, a df-decided tie ('sow' ~ slow/row), an
+    exact vocabulary hit, and a no-candidate miss (zzz: no row)."""
+    from .queries.lexicon import spell_correct
+
+    idx = simple_index(spark, sf_dir)
+    vocab = idx.postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return spell_correct(vocab, list(_SPELL_QUERY_TERMS)).select(
+        "query_term", "suggestion", F.col("df").cast("long").alias("df")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3314,6 +3432,14 @@ _DEMOTED = (
     # driver rows (token_counts / lang_id / bigram_logprob); the
     # quality-score entry stays check_gate + pytest verified.
     "text_quality",
+    # round-4: three swaps for the lexicon family (wildcard_expand /
+    # bool_wildcard / spell_correct — new operators deserve driver rows
+    # more than third entries of already-proven families):
+    "bool_or",     # the OR merge path runs inside bool_mixed
+    "near_k",      # NEAR merge kept in-window via near_quirky (hash-
+                   # checked incl. the exact-k quirk)
+    "phrase_2",    # positional phrase kept via phrase_quirky (quirk
+                   # tail, hash-checked) + biword_phrase (biword path)
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
