@@ -421,7 +421,8 @@ RANK_TERMS = ["table", "scan", "merge"]
 
 
 def _rank_sql(strategy: str, terms: list[str], k: int = 10,
-              wqt_threshold: float | None = None) -> str:
+              wqt_threshold: float | None = None,
+              as_cte: bool = False) -> str:
     vals = ", ".join(f"'{t}'" for t in terms)
     wqt = {
         "default": "ln(1 + s.n_docs / d.dft)",
@@ -473,9 +474,20 @@ scored AS (
   CROSS JOIN cstats s
   GROUP BY p.doc_id, ds.ld, ds.avg_tftd, l.byte_size
 )
+"""
+        + (
+            f"""
+, topk AS (
+  SELECT doc_id, raw_score / {norm} AS score
+  FROM scored ORDER BY raw_score / {norm} DESC, doc_id DESC LIMIT {k}
+)
+"""
+            if as_cte
+            else f"""
 SELECT doc_id, floor(raw_score / {norm} * 1e6)::BIGINT AS score_e6
 FROM scored ORDER BY raw_score / {norm} DESC, doc_id DESC LIMIT {k}
 """
+        )
     )
 
 
@@ -3351,6 +3363,69 @@ def spell_correct_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Snippet extraction (queries/snippets.py): the best query-biased
+# passage per top-k doc. The engine scores candidate windows with ONE
+# RANGE-frame window function over the hit positions; the oracle uses a
+# hits self-join — different mechanisms, same optimum.
+# ---------------------------------------------------------------------------
+
+_SNIPPET_WIDTH = 8
+
+SNIPPET_SQL = (
+    _rank_sql("bm25", RANK_TERMS, as_cte=True)
+    + f"""
+, hits AS (
+  SELECT t.doc_id, t.term, t.pos FROM tok t
+  JOIN qterms q USING (term) JOIN topk USING (doc_id)
+),
+wins AS (
+  SELECT a.doc_id, a.pos AS win_start,
+         count(DISTINCT b.term)::BIGINT AS n_terms,
+         count(*)::BIGINT AS hits
+  FROM hits a JOIN hits b ON a.doc_id = b.doc_id
+       AND b.pos >= a.pos AND b.pos < a.pos + {_SNIPPET_WIDTH}
+  GROUP BY a.doc_id, a.pos
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY n_terms DESC, hits DESC, win_start
+  ) AS rn FROM wins
+)
+SELECT t.doc_id, floor(t.score * 1e6)::BIGINT AS score_e6,
+       b.win_start::BIGINT AS win_start, b.n_terms, b.hits,
+       array_to_string(
+         ta.ts[b.win_start : b.win_start + {_SNIPPET_WIDTH} - 1], ' '
+       ) AS snippet
+FROM topk t
+JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+JOIN tokarr ta ON ta.doc_id = t.doc_id
+"""
+)
+
+
+@register("snippet_bm25_topk", SNIPPET_SQL)
+def snippet_bm25_topk(spark, sf_dir):
+    """Query-biased snippets for the BM25 top-10: best 8-token window
+    per doc by (distinct query terms, total hits, earliest start),
+    rendered from the documents table. Work is bounded by
+    k * |terms| * max_tf hit rows — never corpus-sized."""
+    from .queries.snippets import snippets_topk
+
+    idx = simple_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    out = snippets_topk(idx, docs, RANK_QUERY, "bm25", k=10,
+                        width=_SNIPPET_WIDTH, normalize=simple_query_term)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+        F.col("win_start").cast("long").alias("win_start"),
+        "n_terms",
+        "hits",
+        "snippet",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3440,6 +3515,11 @@ _DEMOTED = (
                    # checked incl. the exact-k quirk)
     "phrase_2",    # positional phrase kept via phrase_quirky (quirk
                    # tail, hash-checked) + biword_phrase (biword path)
+    # round-4: swapped for snippet_bm25_topk — every in-window ranked
+    # entry (rank_bm25 / pruned / champions / batch / wand / refresh /
+    # snippet) scores with n_docs+avg_dl, so the corpus scalars stay
+    # value-checked through every one of their hashes.
+    "index_corpus_stats",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
