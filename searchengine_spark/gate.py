@@ -3005,14 +3005,15 @@ edges AS (
 """
 
 
-def _pagerank_oracle_sql(iters: int = 3) -> str:
-    """Unrolled fixed-point power-method CTE chain — the SQL twin of
-    ops.linkgraph.pagerank_fixedpoint (SCALE=2^40, damping 85/100,
-    all int64 // arithmetic, bit-identical by construction)."""
+def _pagerank_ctes(iters: int = 3) -> str:
+    """Unrolled fixed-point power-method CTE chain (appended after an
+    ``edges`` CTE) — the SQL twin of ops.linkgraph.pagerank_fixedpoint
+    (SCALE=2^40, damping 85/100, all int64 // arithmetic, bit-identical
+    by construction). Ends with CTE ``r{iters}(node, r)``."""
     from .ops.linkgraph import DAMP_DEN, DAMP_NUM, SCALE
 
     keep = DAMP_DEN - DAMP_NUM
-    sql = _SQL_EDGES_CTES + f"""
+    sql = f"""
 , nodes AS (SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges),
 nv AS (SELECT count(*)::BIGINT AS v FROM nodes),
@@ -3029,7 +3030,15 @@ r{i} AS (SELECT n.node,
           + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN})::BIGINT AS r
          FROM nodes n LEFT JOIN c{i} c USING (node), nv)
 """
-    return sql + f"\nSELECT node, r AS rank_fp FROM r{iters}\n"
+    return sql
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    return (
+        _SQL_EDGES_CTES
+        + _pagerank_ctes(iters)
+        + f"\nSELECT node, r AS rank_fp FROM r{iters}\n"
+    )
 
 
 @register(
@@ -3426,6 +3435,65 @@ def snippet_bm25_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PageRank-blended ranking (queries/webrank.py): BM25 × link authority.
+# The oracle recomputes BOTH signals independently (the rank SQL chain
+# and the unrolled fixed-point power-method chain) and blends in SQL;
+# the e6 hash then pins the blend formula, the join semantics (LEFT +
+# coalesce 0), and — because blending precedes top-k — the re-ranking
+# order itself.
+# ---------------------------------------------------------------------------
+
+def _blended_rank_sql(k: int = 10, iters: int = 3) -> str:
+    from .ops.linkgraph import SCALE
+
+    # the full scored set (LIMIT beyond any corpus): blending precedes
+    # top-k, so the text-score CTE must not truncate
+    rank_ctes = _rank_sql("bm25", RANK_TERMS, k=10**9, as_cte=True)
+    return (
+        rank_ctes
+        + _SQL_EDGES_CTES.replace("WITH nn AS", ", nn AS", 1)
+        + _pagerank_ctes(iters)
+        + f"""
+, blend AS (
+  SELECT t.doc_id, t.score,
+         coalesce(r.r, 0)::BIGINT AS rank_fp,
+         t.score * ln(1.0 + (coalesce(r.r, 0) * nv.v)::DOUBLE / {SCALE})
+           AS blended
+  FROM topk t LEFT JOIN r{iters} r ON r.node = t.doc_id, nv
+)
+SELECT doc_id, floor(score * 1e6)::BIGINT AS score_e6, rank_fp,
+       floor(blended * 1e6)::BIGINT AS blended_e6
+FROM blend ORDER BY blended DESC, doc_id DESC LIMIT {k}
+"""
+    )
+
+
+@register("rank_bm25_pagerank", _blended_rank_sql())
+def rank_bm25_pagerank(spark, sf_dir):
+    """BM25 blended with 3-iteration fixed-point PageRank over the
+    synthetic doc link graph: blended = score * ln(1 + pr*n), ordered
+    by the blend (ties doc_id desc), top-10."""
+    from .queries.webrank import rank_topk_pagerank
+
+    idx = simple_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _synth_edges(docs, docs.count())
+    # ranks/n_nodes derived from the edge set inside, exactly like the
+    # oracle's nodes CTE (a doc absent from the graph would shift the
+    # uniform base if n_docs were assumed)
+    out = rank_topk_pagerank(
+        idx, edges, RANK_QUERY, "bm25", k=10, iters=3,
+        normalize=simple_query_term,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+        F.col("rank_fp").cast("long").alias("rank_fp"),
+        _e6(F.col("blended")).alias("blended_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3520,6 +3588,10 @@ _DEMOTED = (
     # snippet) scores with n_docs+avg_dl, so the corpus scalars stay
     # value-checked through every one of their hashes.
     "index_corpus_stats",
+    # round-4: swapped for rank_bm25_pagerank — the similarity family
+    # keeps two driver rows (sim_ann_topk, sim_ivf_topk); brute-force
+    # cosine stays the pytest-asserted recall baseline of both.
+    "sim_bruteforce_topk",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed

@@ -100,19 +100,19 @@ def _normalizer(strategy: str):
     return F.col("Ld")
 
 
-def rank_topk(
+def rank_scores(
     index: SparkIndex,
     query: str,
     strategy: str = "bm25",
-    k: int = 10,
     prune: bool = False,
     normalize=None,
 ) -> DataFrame:
-    """Return DataFrame(doc_id, score) — top-k, ties broken doc_id desc.
-
-    ``prune=True`` applies the vocab-elimination wqt threshold (S7)
-    before touching postings — the scalar degenerate case of WAND.
-    """
+    """Full scored frame DataFrame(doc_id, score) over every matching
+    doc — the accumulator table before top-k selection. Callers that
+    re-rank with a second signal (e.g. the PageRank blend in
+    queries/webrank.py) must consume this, not the top-k: a
+    query-independent prior can promote a doc from outside any fixed-k
+    prefix."""
     terms = query_rank_terms(query, normalize)
     n_docs, avg_dl = index.corpus_scalars()
     spark = index.postings.sparkSession
@@ -160,6 +160,23 @@ def rank_topk(
             (F.col("raw_score") / _normalizer(strategy)).alias("score"),
         )
     )
+    return scored
+
+
+def rank_topk(
+    index: SparkIndex,
+    query: str,
+    strategy: str = "bm25",
+    k: int = 10,
+    prune: bool = False,
+    normalize=None,
+) -> DataFrame:
+    """Return DataFrame(doc_id, score) — top-k, ties broken doc_id desc.
+
+    ``prune=True`` applies the vocab-elimination wqt threshold (S7)
+    before touching postings — the scalar degenerate case of WAND.
+    """
+    scored = rank_scores(index, query, strategy, prune, normalize)
     return scored.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
 
 
