@@ -1,0 +1,87 @@
+"""BM25F fielded ranking — degeneracy to the reference BM25 on a
+single weight-1 field, field-weight semantics, and the
+fold-before-saturation property that distinguishes BM25F from a
+per-field score sum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.indexing.fielded import (
+    build_fielded_index,
+    rank_topk_fielded,
+)
+from searchengine_spark.indexing.simple import (
+    build_simple_index,
+    simple_query_term,
+)
+from searchengine_spark.queries.ranked import rank_topk
+
+DOCS = [
+    (1, "big table", "table scan merge table batch"),
+    (2, "data notes", "table scan filler words here and more"),
+    (3, "scan report", "words words words words table"),
+    (4, "other title", "nothing relevant at all"),
+]
+QUERY = "table scan"
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, title string, body string").cache()
+
+
+def test_single_field_weight1_degenerates_to_reference_bm25(spark, frame):
+    body_only = frame.select("doc_id", F.col("body").alias("text"))
+    idx = build_simple_index(body_only)
+    want = {r["doc_id"]: r["score"] for r in rank_topk(
+        idx, QUERY, "bm25", k=10, normalize=simple_query_term).collect()}
+    fidx = build_fielded_index(frame, {"body": 1.0})
+    got = {r["doc_id"]: r["score"] for r in rank_topk_fielded(
+        fidx, QUERY, k=10, normalize=simple_query_term).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_title_weight_promotes_title_hits(spark, frame):
+    # body-only weights: doc 1 (two 'table' + 'scan' in a short body) wins
+    flat = rank_topk_fielded(
+        build_fielded_index(frame, {"title": 1.0, "body": 1.0}),
+        QUERY, k=4, normalize=simple_query_term).collect()
+    # crank the title weight: doc 3 ('scan' in title) must beat doc 2
+    # (both terms only in a longer body)
+    boosted = rank_topk_fielded(
+        build_fielded_index(frame, {"title": 10.0, "body": 1.0}),
+        QUERY, k=4, normalize=simple_query_term).collect()
+    rank_of = lambda rows, d: [r["doc_id"] for r in rows].index(d)  # noqa: E731
+    assert rank_of(boosted, 3) < rank_of(boosted, 2)
+    # and doc 1's title 'table' keeps it at the head
+    assert boosted[0]["doc_id"] == 1
+    assert len(flat) == len(boosted) == 3  # doc 4 never matches
+
+
+def test_weighted_pseudo_frequencies_fold_before_saturation(spark):
+    # one term in BOTH fields of one doc vs the same total weight in a
+    # single field of another: fold-first BM25F must give them EQUAL
+    # scores (equal wtf, equal wdl), while a per-field BM25 sum would
+    # saturate each field separately and rank them apart.
+    docs = spark.createDataFrame(
+        [(1, "x x", "y y y y"), (2, "y y", "x x y y")],
+        "doc_id long, title string, body string")
+    fidx = build_fielded_index(docs, {"title": 1.0, "body": 1.0})
+    got = {r["doc_id"]: r["score"] for r in rank_topk_fielded(
+        fidx, "x", k=2, normalize=simple_query_term).collect()}
+    # doc1: wtf(x)=2 (title), doc2: wtf(x)=2 (body); wdl both 6
+    assert got[1] == pytest.approx(got[2], rel=1e-12)
+
+
+def test_empty_query_and_missing_term(spark, frame):
+    fidx = build_fielded_index(frame, {"title": 2.0, "body": 1.0})
+    assert rank_topk_fielded(fidx, "zzz qqq",
+                             normalize=simple_query_term).count() == 0
+
+
+def test_rejects_empty_field_map(spark, frame):
+    with pytest.raises(ValueError):
+        build_fielded_index(frame, {})
