@@ -3576,6 +3576,78 @@ def rank_bm25f_fielded(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval (queries/hybrid.py): BM25 ⊕ embedding cosine by
+# Reciprocal Rank Fusion. Ranks are integers and every doc is in ≤2
+# lists, so the fused float is an order-independent 2-term sum —
+# hash-exact across engines. embeddings.vec_id is read as the doc id
+# (a document-embedding table keyed like the corpus).
+# ---------------------------------------------------------------------------
+
+_HYBRID_DEPTH = 20
+
+HYBRID_SQL = (
+    _rank_sql("bm25", RANK_TERMS, k=_HYBRID_DEPTH, as_cte=True)
+    + f"""
+, lexrank AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rank
+  FROM topk
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+expq AS (
+  SELECT generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS qval FROM qv
+),
+expe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS ev
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, sum(ev * qval) AS dot, sqrt(sum(ev * ev)) AS nv
+  FROM expe JOIN expq USING (i) GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq),
+densetop AS (
+  SELECT vec_id, dot / (nv * qnorm) AS cosine
+  FROM dots, qn ORDER BY dot / (nv * qnorm) DESC, vec_id ASC
+  LIMIT {_HYBRID_DEPTH}
+),
+denserank AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM densetop
+),
+fused AS (
+  SELECT id, sum(1.0 / (60.0 + rank)) AS rrf_score,
+         count(*)::BIGINT AS n_lists
+  FROM (SELECT * FROM lexrank UNION ALL SELECT * FROM denserank)
+  GROUP BY id
+)
+SELECT id AS doc_id, floor(rrf_score * 1e6)::BIGINT AS rrf_e6, n_lists
+FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
+)
+
+
+@register("hybrid_rrf_topk", HYBRID_SQL)
+def hybrid_rrf_topk(spark, sf_dir):
+    """Sparse⊕dense hybrid: BM25 top-20 and brute-force cosine top-20
+    (query vector = embedding row 0), RRF c=60, fused top-10."""
+    from .queries.hybrid import hybrid_topk
+
+    idx = simple_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_topk(idx, emb, RANK_QUERY, _query_vec(spark, sf_dir),
+                      k=10, depth=_HYBRID_DEPTH,
+                      normalize=simple_query_term)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("rrf_score")).alias("rrf_e6"),
+        "n_lists",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3678,6 +3750,11 @@ _DEMOTED = (
     # four driver rows (exact, minhash_pairs, jaccard, clusters);
     # simhash banding stays check_gate + pytest verified.
     "dedup_simhash_pairs",
+    # round-4: swapped for hybrid_rrf_topk — the segment codec keeps a
+    # driver row via index_refresh_postings (merge-on-read full decode
+    # of a published table, same encode/decode code path as the COW
+    # merge); segments_merge stays check_gate + property-pytest green.
+    "segments_merge",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
