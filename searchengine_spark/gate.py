@@ -3648,6 +3648,58 @@ def hybrid_rrf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (queries/feedback.py): Rocchio expansion
+# terms from the BM25 top-10, default-strategy tf-idf centroid.
+# ---------------------------------------------------------------------------
+
+PRF_SQL = (
+    _rank_sql("bm25", RANK_TERMS, k=10, as_cte=True)
+    + """
+, fbtok AS (
+  SELECT t.doc_id, t.term FROM tok t JOIN topk USING (doc_id)
+),
+fbtf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM fbtok GROUP BY doc_id, term
+),
+cand AS (
+  SELECT * FROM fbtf WHERE term NOT IN ("""
+    + ", ".join(f"'{t}'" for t in RANK_TERMS)
+    + """)
+),
+dfall AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+wexp AS (
+  SELECT c.term,
+         0.75 / 10 * sum((1 + ln(c.tf)) * ln(1 + s.n_docs / d.df))
+           AS weight
+  FROM cand c JOIN dfall d USING (term) CROSS JOIN cstats s
+  GROUP BY c.term
+)
+SELECT term, floor(weight * 1e6)::BIGINT AS weight_e6
+FROM wexp ORDER BY weight DESC, term ASC LIMIT 5
+"""
+)
+
+
+@register("prf_expansion_terms", PRF_SQL)
+def prf_expansion_terms_gate(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback (IIR §9.1): the 5 expansion
+    terms from the BM25 top-10's tf-idf centroid (β=0.75, default-
+    strategy weights, original query terms excluded). Term frequencies
+    come from tokenizing the 10 feedback docs (k-row broadcast against
+    the corpus — the forward-index lookup), never from a doc-keyed scan
+    of the term-keyed postings."""
+    from .queries.feedback import prf_expansion_terms
+
+    idx = simple_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    out = prf_expansion_terms(idx, docs, RANK_QUERY, "bm25",
+                              fb_docs=10, fb_terms=5,
+                              normalize=simple_query_term)
+    return out.select("term", _e6(F.col("weight")).alias("weight_e6"))
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3755,6 +3807,11 @@ _DEMOTED = (
     # of a published table, same encode/decode code path as the COW
     # merge); segments_merge stays check_gate + property-pytest green.
     "segments_merge",
+    # round-4: swapped for prf_expansion_terms — the classify family
+    # keeps three driver rows (mi, nb_split, knn); Rocchio stays
+    # check_gate + pytest green, and its centroid arithmetic is
+    # additionally exercised in-window by the PRF entry.
+    "classify_rocchio",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
