@@ -3700,6 +3700,67 @@ def prf_expansion_terms_gate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-aware serving (queries/diversify.py): top-k over near-dup
+# cluster representatives — the query-time consumer of the dedup
+# pipeline's cluster table. The oracle recomputes BOTH the ranking and
+# the full MinHash→Jaccard→closure cluster assignment in SQL.
+# ---------------------------------------------------------------------------
+
+DIVERSE_SQL = (
+    _rank_sql("bm25", RANK_TERMS, k=10**9, as_cte=True).replace(
+        "WITH tokarr", "WITH RECURSIVE tokarr", 1
+    )
+    + SQL_CAND_CTE
+    + _SQL_VERIFIED_CLUSTER_CTES
+    + """
+, clmap AS (SELECT node, min(lab) AS cl FROM reach GROUP BY node),
+dv AS (
+  SELECT t.doc_id, t.score, coalesce(c.cl, t.doc_id) AS cluster_id
+  FROM topk t LEFT JOIN clmap c ON c.node = t.doc_id
+),
+dbest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY score DESC, doc_id DESC
+  ) AS rn FROM dv
+)
+SELECT doc_id, floor(score * 1e6)::BIGINT AS score_e6,
+       cluster_id::BIGINT AS cluster_id
+FROM dbest WHERE rn = 1 ORDER BY score DESC, doc_id DESC LIMIT 10
+"""
+)
+
+
+@register("rank_bm25_diverse", DIVERSE_SQL)
+def rank_bm25_diverse(spark, sf_dir):
+    """BM25 top-10 with near-duplicate suppression: one result per
+    MinHash→Jaccard→connected-components cluster, selected over the
+    full scored set (suppressing from a text top-k would under-fill
+    the page instead of promoting the next distinct doc)."""
+    from .ops.dedup import (
+        duplicate_clusters,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .queries.diversify import rank_topk_diverse
+
+    idx = simple_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verify(
+        docs, lsh_candidate_pairs(minhash_signatures(docs), min_matches=2),
+        threshold=0.5,
+    )
+    clusters = duplicate_clusters(pairs)
+    out = rank_topk_diverse(idx, RANK_QUERY, clusters, "bm25", k=10,
+                            normalize=simple_query_term)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wrap every entry so the package ships to the session's python workers
 # before any UDF runs (driver sessions don't have /root/repo on worker
 # sys.path) — applied uniformly here to catch direct QUERIES[...] adds.
@@ -3812,6 +3873,11 @@ _DEMOTED = (
     # check_gate + pytest green, and its centroid arithmetic is
     # additionally exercised in-window by the PRF entry.
     "classify_rocchio",
+    # round-4: swapped for rank_bm25_diverse — textstats keeps two
+    # driver rows (lang_id, bigram_logprob); token counting is
+    # re-derived inside both (ratio denominators / LM totals) and the
+    # dedicated entry stays check_gate + pytest green.
+    "text_token_counts",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed
