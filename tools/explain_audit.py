@@ -150,6 +150,47 @@ def main() -> None:
     R.refresh_pages_index(spark, pr, ir)
     R.refreshed_topk(spark, ir, "table scan", k=10).explain("formatted")
 
+    print("=" * 70)
+    print("SNIPPETS — hits bounded by a BROADCAST semi-join to the k")
+    print("result docs BEFORE the positions explode; ONE RANGE-frame")
+    print("window over those hits (RunningWindowFunction/Window, no")
+    print("self-join); the documents join is a k-row broadcast")
+    print("=" * 70)
+    from searchengine_spark.queries.snippets import snippets_topk
+
+    snippets_topk(pidx, docs, "table scan merge", "bm25", 10, 8,
+                  normalize=simple_query_term).explain("formatted")
+
+    print("=" * 70)
+    print("DIVERSIFIED TOP-K — best-per-cluster must be a partial+final")
+    print("HashAggregate on max(struct(score, doc_id)) (map-side combine")
+    print("for head clusters), NOT a window over a corpus partition;")
+    print("final top-k stays TakeOrderedAndProject")
+    print("=" * 70)
+    from searchengine_spark.queries.diversify import rank_topk_diverse
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long")
+    rank_topk_diverse(pidx, "table scan", clusters, "bm25", 10,
+                      normalize=simple_query_term).explain("formatted")
+
+    print("=" * 70)
+    print("BM25F TOP-K — term-pruned postings filter, two tiny broadcast")
+    print("joins, ONE partial-agged groupBy(doc_id), TakeOrderedAndProject")
+    print("(the rank_topk plan over the fielded postings)")
+    print("=" * 70)
+    from searchengine_spark.indexing.fielded import (
+        build_fielded_index,
+        rank_topk_fielded,
+    )
+
+    fidx = build_fielded_index(
+        docs.withColumn("title", F.concat(F.lit("doc "), F.col("doc_id"))),
+        {"title": 2.0, "text": 1.0},
+    )
+    rank_topk_fielded(fidx, "table scan", 10,
+                      normalize=simple_query_term).explain()
+
 
 if __name__ == "__main__":
     main()
