@@ -3328,6 +3328,29 @@ def bool_wildcard(spark, sf_dir):
     )
 
 
+@register(
+    "suggest_prefix",
+    SQL_PREFIX
+    + _SQL_VOCAB_CTE
+    + """
+SELECT term, df FROM vocab WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 3
+""",
+)
+def suggest_prefix_gate(spark, sf_dir):
+    """Query autocomplete: top-3 highest-df completions of prefix 's',
+    df desc / term asc. A 1-char prefix yields no boundary k-gram, so
+    this also pins the documented regex-fallback path (the probe path
+    is pinned by wildcard_expand's 'sma*' / 'st*m')."""
+    from .queries.lexicon import suggest_prefix
+
+    idx = simple_index(spark, sf_dir)
+    vocab = idx.postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return suggest_prefix(vocab, "s", n=3)
+
+
 _SPELL_QUERY_TERMS = ("scann", "tble", "sow", "ket", "qery", "spark", "zzz")
 
 
@@ -3907,6 +3930,9 @@ _BEYOND_BUDGET = (
     "snapshot_pruned_read",
     "snapshot_boolean_serve",
     "snapshot_ranked_serve",
+    # round-4: autocomplete is a convenience op over the same k-gram/
+    # regex machinery wildcard_expand pins in-window.
+    "suggest_prefix",
 )
 
 

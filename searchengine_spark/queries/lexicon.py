@@ -130,6 +130,21 @@ def wildcard_docs(postings: DataFrame, vocab: DataFrame, pattern: str,
     )
 
 
+def suggest_prefix(vocab: DataFrame, prefix: str, n: int = 5,
+                   k: int = 3, kgrams: DataFrame | None = None) -> DataFrame:
+    """(term, df) — the ``n`` highest-df vocabulary completions of a
+    prefix (df desc, term asc): query autocomplete. Candidates route
+    through the k-gram index exactly like ``prefix*`` (the boundary
+    gram ``$pre`` anchors the lookup); at a 10^9-term vocabulary this
+    is an index probe, not a scan — or a range scan on a term-sorted
+    vocabulary table, which is how the segments layout stores it."""
+    return (
+        expand_wildcard(vocab, prefix + "*", k, kgrams)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SymSpell deletion index + spelling correction
 # ---------------------------------------------------------------------------

@@ -145,3 +145,20 @@ def test_spell_correct_prefers_exact_match_over_frequent_neighbor(spark):
 def test_spell_correct_rejects_unsupported_edit_distance(vocab):
     with pytest.raises(ValueError):
         L.spell_correct(vocab, ["x"], max_edit=2)
+
+
+def test_suggest_prefix_orders_by_df_then_term(vocab):
+    got = [(r["term"], r["df"]) for r in
+           L.suggest_prefix(vocab, "s", n=3).collect()]
+    rows = [(r["term"], r["df"]) for r in vocab.collect()]
+    want = sorted((x for x in rows if x[0].startswith("s")),
+                  key=lambda td: (-td[1], td[0]))[:3]
+    assert got == want
+
+
+def test_suggest_prefix_via_kgram_probe(vocab):
+    # a 3-char prefix goes through the k-gram candidate path
+    kg = L.kgram_index(vocab).cache()
+    got = [r["term"] for r in
+           L.suggest_prefix(vocab, "str", n=5, kgrams=kg).collect()]
+    assert got == ["stream", "strength"]  # df 25 > 3
