@@ -18,9 +18,13 @@ Pipeline shape (all sizes bounded by the query, never the corpus):
    corpus scan; on a real deployment the documents table is bucketed
    by doc_id so this is k point lookups, see sources/snapshots.py).
 
-Whole-stage codegen end to end under the simple analyzer (the
-reference analyzer's positions come from the same postings schema, so
-the pipeline is analyzer-agnostic).
+Whole-stage codegen end to end. Window SELECTION (steps 1-3) is
+analyzer-agnostic — it reads whatever positions the index holds. Text
+RENDERING (step 4) re-tokenizes with the simple analyzer's
+``token_array``, so win_start must refer to simple-token positions:
+use a simple-analyzer index (as the gate and bench do), or positions
+drift wherever the reference analyzer's quirks (hyphen triple-emit,
+empty-token drops) change the token stream.
 """
 
 from __future__ import annotations
