@@ -116,6 +116,24 @@ def expand_wildcard(vocab: DataFrame, pattern: str, k: int = 3,
     return out.filter(F.col("term").rlike(rx)).select("term", "df")
 
 
+def rank_topk_wildcard(index, vocab: DataFrame, pattern: str,
+                       strategy: str = "bm25", k: int = 10,
+                       kgrams: DataFrame | None = None) -> DataFrame:
+    """Ranked retrieval over a wildcard literal: every expanded term
+    joins the accumulator with weight 1 (per-term idf still applies, so
+    rare completions contribute more than stopword-like ones). The
+    expansion stays a DataFrame end to end — no driver collect, the
+    postings scan prunes by broadcast semi-join
+    (ranked.rank_scores_terms)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    from .ranked import rank_scores_terms
+
+    terms_df = expand_wildcard(vocab, pattern, kgrams=kgrams).select("term")
+    scored = rank_scores_terms(index, terms_df, strategy)
+    return scored.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
+
+
 def wildcard_docs(postings: DataFrame, vocab: DataFrame, pattern: str,
                   k: int = 3, kgrams: DataFrame | None = None) -> DataFrame:
     """Distinct doc_ids matching a wildcard term literal — the OR over

@@ -114,7 +114,6 @@ def rank_scores(
     query-independent prior can promote a doc from outside any fixed-k
     prefix."""
     terms = query_rank_terms(query, normalize)
-    n_docs, avg_dl = index.corpus_scalars()
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -122,6 +121,25 @@ def rank_scores(
     mult_df = spark.createDataFrame(
         [(t, float(m)) for t, m in terms.items()], "term string, mult double"
     )
+    return rank_scores_terms(index, mult_df, strategy, prune,
+                             literal_terms=list(terms))
+
+
+def rank_scores_terms(
+    index: SparkIndex,
+    terms_df: DataFrame,
+    strategy: str = "bm25",
+    prune: bool = False,
+    literal_terms: list[str] | None = None,
+) -> DataFrame:
+    """rank_scores over a (term, mult) DataFrame instead of a parsed
+    query string — the shape an EXPANDED term set arrives in (wildcard
+    expansion can be thousands of terms at web vocabulary; collecting
+    them to literals would put the expansion on the driver). The
+    postings scan prunes by broadcast semi-join; pass ``literal_terms``
+    when the term list is known driver-side to ALSO get the bucket-
+    literal partition pruning of ``term_filter``."""
+    n_docs, avg_dl = index.corpus_scalars()
     # Ranked path never reads positions: columnar projection gives the
     # reference's position-skipping read (R2) for free. Doc stats come
     # from the DENORMALIZED posting columns (SparkIndex contract) — no
@@ -130,9 +148,19 @@ def rank_scores(
     stat_cols = ("doc_length", "Ld", "byte_size", "avg_tftd")
     enriched = set(stat_cols) <= set(index.postings.columns)
     cols = ["term", "doc_id", "tftd", *(stat_cols if enriched else ())]
-    matched = term_filter(
-        index.postings, list(terms), index.term_buckets
-    ).select(*cols)
+    mult_df = terms_df.select(
+        "term",
+        (F.col("mult") if "mult" in terms_df.columns else F.lit(1.0))
+        .cast("double").alias("mult"),
+    )
+    if literal_terms is not None:
+        matched = term_filter(
+            index.postings, literal_terms, index.term_buckets
+        ).select(*cols)
+    else:
+        matched = index.postings.join(
+            F.broadcast(mult_df.select("term")), "term", "left_semi"
+        ).select(*cols)
 
     dft = matched.groupBy("term").agg(F.count("*").alias("dft"))
     dft = dft.withColumn("wqt", _wqt(strategy, n_docs))

@@ -156,6 +156,28 @@ def test_suggest_prefix_orders_by_df_then_term(vocab):
     assert got == want
 
 
+def test_rank_wildcard_equals_rank_over_expanded_literals(spark):
+    from searchengine_spark.indexing.simple import (
+        build_simple_index,
+        simple_query_term,
+    )
+    from searchengine_spark.queries.lexicon import rank_topk_wildcard
+    from searchengine_spark.queries.ranked import rank_topk
+
+    docs = spark.createDataFrame(
+        [(1, "scan the stream slowly"), (2, "slow sort of stream"),
+         (3, "scan scan small"), (4, "nothing here")],
+        "doc_id long, text string")
+    idx = build_simple_index(docs)
+    v = idx.postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    got = rank_topk_wildcard(idx, v, "s*", "bm25", k=10).collect()
+    lits = sorted(r["term"] for r in L.expand_wildcard(v, "s*").collect())
+    want = rank_topk(idx, " ".join(lits), "bm25", 10,
+                     normalize=simple_query_term).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in want]
+
+
 def test_suggest_prefix_via_kgram_probe(vocab):
     # a 3-char prefix goes through the k-gram candidate path
     kg = L.kgram_index(vocab).cache()
