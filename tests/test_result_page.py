@@ -8,7 +8,7 @@ from searchengine_spark.indexing.simple import (
     build_simple_index,
     simple_query_term,
 )
-from searchengine_spark.queries.serve import search_page
+from searchengine_spark.queries.result_page import search_page
 
 DOCS = [
     (1, "table scan table scan merge"),
