@@ -125,8 +125,6 @@ def rank_topk_wildcard(index, vocab: DataFrame, pattern: str,
     expansion stays a DataFrame end to end — no driver collect, the
     postings scan prunes by broadcast semi-join
     (ranked.rank_scores_terms)."""
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
     from .ranked import rank_scores_terms
 
     terms_df = expand_wildcard(vocab, pattern, kgrams=kgrams).select("term")
