@@ -3506,7 +3506,7 @@ def _blended_rank_sql(k: int = 10, iters: int = 3) -> str:
 , blend AS (
   SELECT t.doc_id, t.score,
          coalesce(r.r, 0)::BIGINT AS rank_fp,
-         t.score * ln(1.0 + (coalesce(r.r, 0) * nv.v)::DOUBLE / {SCALE})
+         t.score * ln(1.0 + coalesce(r.r, 0)::DOUBLE * nv.v / {SCALE})
            AS blended
   FROM topk t LEFT JOIN r{iters} r ON r.node = t.doc_id, nv
 )
@@ -3719,7 +3719,8 @@ cand AS (
 dfall AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
 wexp AS (
   SELECT c.term,
-         0.75 / 10 * sum((1 + ln(c.tf)) * ln(1 + s.n_docs / d.df))
+         0.75 / (SELECT count(*) FROM topk)
+           * sum((1 + ln(c.tf)) * ln(1 + s.n_docs / d.df))
            AS weight
   FROM cand c JOIN dfall d USING (term) CROSS JOIN cstats s
   GROUP BY c.term

@@ -73,12 +73,18 @@ def build_fielded_index(
     """
     if not fields:
         raise ValueError("need at least one field")
+    def _field(col_name):
+        # NULL field values are empty fields, not document killers: an
+        # un-coalesced NULL would propagate through concat() and the
+        # wdl sum and silently drop the whole document from the index
+        return F.coalesce(F.col(col_name), F.lit(""))
+
     def _tagged(col_name: str, w: float):
         # a 1-arg lambda is required: pyspark passes (element, index)
         # to 2-arg callables, so a default-arg weight capture would
         # receive the array index instead
         return F.transform(
-            token_array(F.col(col_name)),
+            token_array(_field(col_name)),
             lambda t: F.struct(t.alias("term"),
                                F.lit(float(w)).alias("w")),
         )
@@ -86,7 +92,7 @@ def build_fielded_index(
     arrs = [_tagged(c, w) for c, w in fields.items()]
     wdl = None
     for c, w in fields.items():
-        piece = F.lit(float(w)) * F.size(token_array(F.col(c)))
+        piece = F.lit(float(w)) * F.size(token_array(_field(c)))
         wdl = piece if wdl is None else wdl + piece
     base = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),

@@ -46,10 +46,19 @@ def prf_expansion_terms(
     qterms = [t for t in query_rank_terms(query, normalize) if t]
     n_docs, _ = index.corpus_scalars()
     top = rank_topk(index, query, strategy, fb_docs, normalize=normalize)
+    # collect the ≤fb_docs feedback ids once (query-metadata-sized, the
+    # WAND-θ collect class): the actual |D_fb| is the Rocchio divisor —
+    # dividing by the nominal fb_docs deflates weights when fewer docs
+    # match — and the collected frame feeds the broadcast join without
+    # recomputing the ranking
+    spark = index.postings.sparkSession
+    top_rows = top.select("doc_id").collect()
+    n_fb = len(top_rows) or 1
+    fb_ids = spark.createDataFrame(top_rows, "doc_id long")
     fb = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"),
         F.explode(token_array(F.col(text_col))).alias("term"),
-    ).join(F.broadcast(top.select("doc_id")), "doc_id")
+    ).join(F.broadcast(fb_ids), "doc_id")
     tf = fb.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     cand = tf.filter(~F.col("term").isin(qterms))
     df_t = (
@@ -68,7 +77,7 @@ def prf_expansion_terms(
         )
         .groupBy("term")
         .agg(
-            (F.lit(float(beta)) / F.lit(float(fb_docs)) * F.sum("_w"))
+            (F.lit(float(beta)) / F.lit(float(n_fb)) * F.sum("_w"))
             .alias("weight")
         )
     )

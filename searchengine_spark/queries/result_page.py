@@ -66,10 +66,15 @@ def search_page(
                                        deletions=deletions).collect()
             }
             if set(fixes) == set(terms):
-                # rebuild in the user's token order
+                # rebuild in the user's token order — same default
+                # normalizer as query_rank_terms, so the fixes keyed by
+                # normalized term are found even when normalize=None
+                from ..oracle.engine import term_for_rank_mode
+
+                norm = normalize or term_for_rank_mode
                 fixed = []
                 for raw in query.split(" "):
-                    nt = normalize(raw) if normalize else raw
+                    nt = norm(raw)
                     if nt:
                         fixed.append(fixes.get(nt, nt))
                 did_you_mean = " ".join(fixed)

@@ -47,7 +47,7 @@ def blend_pagerank(scores: DataFrame, ranks: DataFrame,
             F.col("score")
             * F.log(
                 F.lit(1.0)
-                + (F.col("rank_fp") * F.lit(n_nodes)).cast("double")
+                + F.col("rank_fp").cast("double") * F.lit(float(n_nodes))
                 / F.lit(float(SCALE))
             ),
         )

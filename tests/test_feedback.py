@@ -87,3 +87,19 @@ def test_expansion_empty_when_feedback_docs_add_nothing(spark):
     got = prf_expansion_terms(idx, docs, QUERY, "bm25", 2, 5,
                               normalize=simple_query_term).collect()
     assert got == []
+
+
+def test_divisor_is_actual_feedback_count_not_nominal_k(spark, setup):
+    # ADVICE r4: weights divided by the fb_docs parameter even when
+    # fewer docs match; the divisor must be the actual |D_fb|
+    idx, docs = setup
+    # only 4 docs contain a query term, so fb_docs=10 retrieves 4
+    a = {r["term"]: r["weight"] for r in prf_expansion_terms(
+        idx, docs, QUERY, "bm25", fb_docs=10, fb_terms=5,
+        normalize=simple_query_term).collect()}
+    b = {r["term"]: r["weight"] for r in prf_expansion_terms(
+        idx, docs, QUERY, "bm25", fb_docs=4, fb_terms=5,
+        normalize=simple_query_term).collect()}
+    assert set(a) == set(b)
+    for t in a:
+        assert a[t] == pytest.approx(b[t], rel=1e-12)

@@ -85,3 +85,24 @@ def test_empty_query_and_missing_term(spark, frame):
 def test_rejects_empty_field_map(spark, frame):
     with pytest.raises(ValueError):
         build_fielded_index(frame, {})
+
+
+def test_null_field_is_empty_field_not_document_killer(spark):
+    # a NULL title must not drop the document from postings / n_docs
+    # (ADVICE r4: NULL propagated through concat + the wdl sum)
+    docs = spark.createDataFrame(
+        [(1, "big table", "table scan merge"),
+         (2, None, "table scan filler")],
+        "doc_id long, title string, body string")
+    fidx = build_fielded_index(docs, {"title": 2.0, "body": 1.0})
+    n_docs, avg_wdl = fidx.corpus_scalars()
+    assert n_docs == 2
+    by_doc = {r["doc_id"]: r for r in fidx.postings.collect() if r["term"] == "table"}
+    assert set(by_doc) == {1, 2}
+    # doc 2's wdl is body-only (3 tokens * 1.0); doc 1 adds 2*2.0 title
+    assert by_doc[2]["wdl"] == pytest.approx(3.0)
+    assert by_doc[1]["wdl"] == pytest.approx(7.0)
+    # and both docs are rankable
+    got = {r["doc_id"] for r in rank_topk_fielded(
+        fidx, QUERY, k=10, normalize=simple_query_term).collect()}
+    assert got == {1, 2}

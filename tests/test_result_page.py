@@ -66,3 +66,21 @@ def test_no_clusters_means_no_suppression(spark, setup):
                              normalize=simple_query_term, vocab=vocab)
     ids = {r["doc_id"] for r in results.collect()}
     assert {1, 2} <= ids  # both twins present without a cluster table
+
+
+def test_default_normalizer_applies_correction(spark):
+    # ADVICE r4: with normalize=None the rebuild loop used the RAW
+    # token to look up fixes keyed by the normalized term, so any
+    # non-identity normalization (uppercase here) silently skipped the
+    # correction. 'disk'/'scan' are Porter2 fixed points, so the
+    # default rank-mode normalizer maps DSK->dsk, SCN->scn.
+    docs = spark.createDataFrame(
+        [(1, "disk scan disk merge"), (2, "disk scan rows")],
+        "doc_id long, text string")
+    idx = build_simple_index(docs)
+    vocab = idx.postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"))
+    results, dym = search_page(idx, docs, "DSK SCN", k=2, vocab=vocab,
+                               normalize=None)
+    assert dym == "disk scan"
+    assert results.count() > 0

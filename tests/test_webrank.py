@@ -90,3 +90,16 @@ def test_blend_happens_before_topk(spark, setup):
                              normalize=simple_query_term,
                              ranks=ranks, n_nodes=N).collect()
     assert [r["doc_id"] for r in top] == [3]
+
+
+def test_blend_survives_huge_rank_times_nodes(spark):
+    # ADVICE r4: rank_fp * n_nodes multiplied in int64 wraps once the
+    # product exceeds 2^63 (hub page at web scale) -> log(negative) ->
+    # NULL blended score. The double cast must happen BEFORE the multiply.
+    n_nodes = 2 ** 24  # ~16.7M pages
+    scores = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    ranks = spark.createDataFrame(
+        [(1, SCALE)], "node long, rank_fp long")  # a hub holding ALL rank
+    row = blend_pagerank(scores, ranks, n_nodes).collect()[0]
+    assert row["blended"] is not None
+    assert row["blended"] == pytest.approx(math.log1p(float(n_nodes)), rel=1e-12)
