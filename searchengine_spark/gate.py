@@ -3681,14 +3681,100 @@ FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
 @register("hybrid_rrf_topk", HYBRID_SQL)
 def hybrid_rrf_topk(spark, sf_dir):
     """Sparse⊕dense hybrid: BM25 top-20 and brute-force cosine top-20
-    (query vector = embedding row 0), RRF c=60, fused top-10."""
+    (query vector = embedding row 0), RRF c=60, fused top-10. The
+    brute-force arm is the recall-1 exactness twin of hybrid_rrf_ann —
+    kept as the oracle surface, not the serving default."""
     from .queries.hybrid import hybrid_topk
 
     idx = simple_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     out = hybrid_topk(idx, emb, RANK_QUERY, _query_vec(spark, sf_dir),
                       k=10, depth=_HYBRID_DEPTH,
-                      normalize=simple_query_term)
+                      normalize=simple_query_term, dense="brute")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("rrf_score")).alias("rrf_e6"),
+        "n_lists",
+    )
+
+
+# The scale-path hybrid: the dense arm is the sign-LSH bucketed ANN
+# (the hybrid default) — the oracle replays the bucket candidate
+# generation (pattern of sim_ann_topk: 4 hyperplanes so sandbox tables
+# keep >depth candidates per bucket) before ranking and fusing, so the
+# hash pins that the engine really pruned to the query's bucket.
+HYBRID_ANN_SQL = (
+    _rank_sql("bm25", RANK_TERMS, k=_HYBRID_DEPTH, as_cte=True)
+    + f"""
+, lexrank AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rank
+  FROM topk
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+expq AS (
+  SELECT generate_subscripts(v, 1) AS i, unnest(v)::DOUBLE AS qval FROM qv
+),
+bkt AS (
+  SELECT vec_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(embedding) AS v
+    FROM embeddings
+  ) WHERE i <= 4 GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM bkt WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN bkt ON bkt.vec_id = e.vec_id
+  JOIN qb ON bkt.bucket = qb.bucket
+),
+expe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS ev
+  FROM cand
+),
+dots AS (
+  SELECT vec_id, sum(ev * qval) AS dot, sqrt(sum(ev * ev)) AS nv
+  FROM expe JOIN expq USING (i) GROUP BY vec_id
+),
+qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq),
+densetop AS (
+  SELECT vec_id, dot / (nv * qnorm) AS cosine
+  FROM dots, qn ORDER BY dot / (nv * qnorm) DESC, vec_id ASC
+  LIMIT {_HYBRID_DEPTH}
+),
+denserank AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM densetop
+),
+fused AS (
+  SELECT id, sum(1.0 / (60.0 + rank)) AS rrf_score,
+         count(*)::BIGINT AS n_lists
+  FROM (SELECT * FROM lexrank UNION ALL SELECT * FROM denserank)
+  GROUP BY id
+)
+SELECT id AS doc_id, floor(rrf_score * 1e6)::BIGINT AS rrf_e6, n_lists
+FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
+)
+
+
+@register("hybrid_rrf_ann", HYBRID_ANN_SQL)
+def hybrid_rrf_ann(spark, sf_dir):
+    """Scale-path hybrid: BM25 top-20 fused with the sign-LSH bucketed
+    ANN top-20 (the dense default — candidates pruned to the query's
+    4-bit bucket, never a full-corpus scan), RRF c=60, fused top-10."""
+    from .queries.hybrid import hybrid_topk
+
+    idx = simple_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_topk(idx, emb, RANK_QUERY, _query_vec(spark, sf_dir),
+                      k=10, depth=_HYBRID_DEPTH,
+                      normalize=simple_query_term, dense="ann", nbits=4)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         _e6(F.col("rrf_score")).alias("rrf_e6"),
@@ -3932,6 +4018,11 @@ _DEMOTED = (
     # expansion→postings join mechanism WITH scoring on top; the
     # boolean OR-expansion stays check_gate + pytest green.
     "bool_wildcard",
+    # round-5: swapped for hybrid_rrf_ann, whose oracle replays the
+    # SAME 4-bit bucket candidate generation + cosine ranking (then
+    # fuses it) — the standalone ANN entry is strictly subsumed; the
+    # similarity family keeps a second driver row via sim_ivf_topk.
+    "sim_ann_topk",
 )
 
 # Non-redundant entries added after the 50-slot budget filled: placed

@@ -61,6 +61,47 @@ def rrf_fuse(rankings: dict[str, DataFrame], k: int = 10,
     )
 
 
+def dense_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    depth: int,
+    dense="ann",
+    id_col: str = "vec_id",
+    nbits: int = 16,
+) -> DataFrame:
+    """Resolve the dense arm of a hybrid query to a bounded
+    (``id_col``, cosine) top-``depth`` frame.
+
+    ``dense`` selects the ranker:
+
+    * ``"ann"`` (default) — sign-LSH bucketed ``ops.similarity.ann_topk``
+      (``nbits`` hyperplanes): the SCALE path; candidates come from one
+      bucket (partition-prunable when the table is written bucketed),
+      never a full-corpus scan.
+    * ``"brute"`` — exact ``brute_force_topk``: the recall-1 oracle twin.
+      A full scan per query — correctness baseline, not a serving path.
+    * a callable ``(embeddings, query_vec, depth) -> DataFrame`` —
+      any other ranker (e.g. ``lambda e, q, d: ivf.search(q, d)`` for a
+      fitted ``IvfIndex``, which ignores the raw embeddings arg).
+    * a ``DataFrame`` — a pre-ranked (``id_col``, cosine) frame (the
+      amortized shape: one ANN job scored a query batch up front);
+      re-bounded to ``depth`` under the canonical order so the RRF
+      depth contract holds regardless of how many rows were passed.
+    """
+    from ..ops.similarity import ann_topk, brute_force_topk
+
+    if isinstance(dense, DataFrame):
+        return dense.orderBy(F.desc("cosine"), F.asc(id_col)).limit(depth)
+    if callable(dense):
+        return dense(embeddings, query_vec, depth)
+    if dense == "ann":
+        return ann_topk(embeddings, query_vec, depth, nbits=nbits,
+                        id_col=id_col)
+    if dense == "brute":
+        return brute_force_topk(embeddings, query_vec, depth, id_col=id_col)
+    raise ValueError(f"unknown dense ranker: {dense!r}")
+
+
 def hybrid_topk(
     index,
     embeddings: DataFrame,
@@ -71,19 +112,27 @@ def hybrid_topk(
     c: int = RRF_C,
     normalize=None,
     id_col: str = "vec_id",
+    dense="ann",
+    nbits: int = 16,
 ) -> DataFrame:
     """BM25 ⊕ cosine hybrid: top-``depth`` from each ranker, RRF-fused
     to a top-``k``. ``embeddings``' id column is the document id (a
-    document-embedding table keyed like the corpus)."""
-    from ..ops.similarity import brute_force_topk
+    document-embedding table keyed like the corpus).
+
+    The dense arm is pluggable (see ``dense_topk``): sign-LSH ANN by
+    default — at corpus scale the dense candidate set must come from a
+    bucketed/partition-pruned structure, not a per-query full scan —
+    with ``dense="brute"`` as the exact-recall oracle twin and callable/
+    pre-ranked-frame hooks for IVF or batch-scored deployments."""
     from .ranked import rank_topk
 
     lex = rank_topk(index, query, "bm25", depth, normalize=normalize)
-    dense = brute_force_topk(embeddings, query_vec, depth, id_col=id_col)
+    dns = dense_topk(embeddings, query_vec, depth, dense=dense,
+                     id_col=id_col, nbits=nbits)
     return rrf_fuse(
         {
             "bm25": with_rank(lex, "score", "doc_id", id_ties_desc=True),
-            "cosine": with_rank(dense, "cosine", id_col, id_ties_desc=False),
+            "cosine": with_rank(dns, "cosine", id_col, id_ties_desc=False),
         },
         k=k, c=c,
     )
