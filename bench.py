@@ -14,6 +14,11 @@ Measures (BASELINE.md targets):
 * query-side scaling: rank_topk_batch over the staged index at the same
   two core counts (the read path's N→4N evidence). Skip with
   SPARK_GRAFT_QUERY_SCALING=0.
+* dedup end-to-end at the staged corpus (spread-extended best-of since
+  round 5 — the r3→r4 committed spread was 17% on identical work).
+* merge-on-read serving tax (round 5): 400k-doc refresh loop, the same
+  df-banded query log batch-replayed at layer counts 1/2/3/compacted —
+  the layer-count → tax curve on the fleet serving path.
 
 Protocol (round-4 hardening — PERF.md "measurement protocol"):
 * every section runs in its OWN subprocess → its own JVM. All bench
@@ -90,6 +95,15 @@ QSCALE_MAX_TRIALS = int(os.environ.get("SPARK_GRAFT_QSCALE_MAX_TRIALS", "7"))
 EFF_TARGET = float(os.environ.get("SPARK_GRAFT_EFF_TARGET", "0.8"))
 # interleaved trials for the latency/build section and WAND crossover
 BUILD_TRIALS = int(os.environ.get("SPARK_GRAFT_BUILD_TRIALS", "3"))
+# dedup end-to-end: spread-extended best-of (r3→r4 committed spread was
+# 17% on identical work — single-trial numbers are not comparable)
+DEDUP_TRIALS = int(os.environ.get("SPARK_GRAFT_DEDUP_TRIALS", "2"))
+DEDUP_MAX_TRIALS = int(os.environ.get("SPARK_GRAFT_DEDUP_MAX_TRIALS", "4"))
+# merge-on-read serving-tax section: 400k base, batch query-log replay
+# at each layer count (VERDICT r4 item 5)
+REFRESH_N = int(os.environ.get("SPARK_GRAFT_REFRESH_N", "400000"))
+REFRESH_QUERIES = int(os.environ.get("SPARK_GRAFT_REFRESH_QUERIES", "60"))
+REFRESH_TRIALS = int(os.environ.get("SPARK_GRAFT_REFRESH_TRIALS", "3"))
 LAT_PASSES = int(os.environ.get("SPARK_GRAFT_LAT_PASSES", "3"))
 XOVER_TRIALS = int(os.environ.get("SPARK_GRAFT_XOVER_TRIALS", "3"))
 SECTION_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SECTION_TIMEOUT", "7200"))
@@ -385,9 +399,14 @@ def run_dedup_e2e(queries: dict, extra: dict) -> None:
     evidence that the banding bounds (bucket_cap, r-tuple keys) hold at
     10× gate scale: candidate volume and pairs/sec are recorded, so a
     candidate explosion (the way LSH dies at web scale) would be
-    visible in the artifact, not just asserted."""
-    import os.path
+    visible in the artifact, not just asserted.
 
+    Round-5 protocol upgrade (VERDICT r4 item 2): the r3→r4 committed
+    dedup number moved 148→174 s with IDENTICAL candidate volume — VM
+    spread, invisible to a single-trial section. Now the same
+    spread-extended best-of protocol as the other sections: trials
+    repeat while the two best walls disagree by >30% (up to a cap),
+    cache cleared between trials, every wall in the artifact."""
     from pyspark.sql import functions as F
 
     from searchengine_spark.ops.dedup import (
@@ -409,7 +428,7 @@ def run_dedup_e2e(queries: dict, extra: dict) -> None:
     docs = s.read.parquet(path).select("doc_id", "text")
     n_docs = docs.count()
 
-    try:
+    def one_trial() -> tuple[float, dict]:
         t0 = time.time()
         sigs = minhash_signatures(docs).cache()
         n_sigs = sigs.count()
@@ -424,25 +443,203 @@ def run_dedup_e2e(queries: dict, extra: dict) -> None:
         n_sample = sample.count()
         n_dup_sample = jaccard_verify(docs, sample, threshold=0.5).count()
         wall = time.time() - t0
+        sigs.unpersist()
+        cand.unpersist()
+        return wall, {
+            "n_signatures": n_sigs,
+            "n_candidate_pairs": n_cand,
+            "verify_sample_pairs": n_sample,
+            "verify_sample_duplicates": n_dup_sample,
+        }
 
+    def unsettled(ws: list[float]) -> bool:
+        if len(ws) < 2:
+            return True
+        a, b = sorted(ws)[:2]
+        return b > 1.3 * a
+
+    try:
+        walls: list[float] = []
+        counts: dict = {}
+        n_trials = 0
+        while True:
+            s.catalog.clearCache()
+            wall, c = one_trial()
+            walls.append(wall)
+            if counts:
+                # the pipeline is deterministic: any count drift across
+                # trials is a bug worth failing the artifact over
+                assert c == counts, f"count drift across trials: {c} vs {counts}"
+            counts = c
+            n_trials += 1
+            if n_trials >= DEDUP_TRIALS and (
+                DEDUP_TRIALS == 1
+                or n_trials >= DEDUP_MAX_TRIALS
+                or not unsettled(walls)
+            ):
+                break
+        wall = min(walls)
         queries[f"dedup_e2e_{n_docs // 1000}k"] = wall
         extra["dedup_e2e"] = {
             "n_docs": n_docs,
-            "n_signatures": n_sigs,
-            "n_candidate_pairs": n_cand,
-            "candidates_per_doc": round(n_cand / max(n_docs, 1), 4),
-            "verify_sample_pairs": n_sample,
-            "verify_sample_duplicates": n_dup_sample,
+            **counts,
+            "candidates_per_doc": round(
+                counts["n_candidate_pairs"] / max(n_docs, 1), 4),
             "verify_sample_rule": "(doc_a + doc_b) % 97 == 0",
             "docs_per_sec": round(n_docs / wall, 1),
             "bucket_cap": 10_000,
+            "trials": n_trials,
+            "selection": (
+                f"best_of_{n_trials}"
+                f"(base_{DEDUP_TRIALS},spread_extended_cap_{DEDUP_MAX_TRIALS})"
+            ),
+            "trials_wall_s": [round(w, 1) for w in walls],
         }
-        sigs.unpersist()
-        cand.unpersist()
     except Exception as exc:  # record, never kill the bench artifact
         extra["dedup_e2e"] = {"error": str(exc)[:500], "n_docs": n_docs}
     finally:
         s.stop()
+
+
+def run_refresh_serve(queries: dict, extra: dict) -> None:
+    """Merge-on-read SERVING tax at query volume (VERDICT r4 item 5):
+    a 400k-doc pages index goes through two 1% crawl-refresh cycles and
+    a major compaction; at every layer count the SAME df-banded query
+    log replays through ``refreshed_topk_batch`` — the one-job path a
+    serving fleet actually reads a delta-layered index with (a
+    per-query loop re-pays file planning + delete reconciliation per
+    query; the batch pays them once, so the measured tax is the real
+    marginal decode cost of the delta layers).
+
+    Time travel keeps every layer state readable, so the four versions
+    are timed INTERLEAVED per trial round (VM noise bursts hit all
+    states equally) with best-of selection; the artifact records the
+    layer-count → tax curve."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import searchengine_spark.pipeline.refresh as R
+    from searchengine_spark.corpus import pages_df
+    from searchengine_spark.session import get_spark
+    from searchengine_spark.sources.snapshots import SnapshotTable
+
+    root = "/tmp/bench_refresh_serve"
+    shutil.rmtree(root, ignore_errors=True)
+    pr, ir = f"{root}/pages", f"{root}/idx"
+    s = get_spark("bench-refresh-serve", cores=CPUS)
+    n = REFRESH_N
+    n_delta = max(n // 100, 10)
+
+    try:
+        pages = SnapshotTable(pr)
+        base = pages_df(s, n, seed=42, partitions=128)
+        pages.commit(base, mode="overwrite", note="crawl v0")
+
+        # untimed warmup on a tiny twin (python workers + Arrow + JIT)
+        warm = SnapshotTable(f"{root}/warm_pages")
+        warm.commit(pages_df(s, 5_000, seed=7, partitions=8),
+                    mode="overwrite")
+        R.build_pages_index(s, f"{root}/warm_pages", f"{root}/warm_idx",
+                            term_buckets=16)
+        shutil.rmtree(f"{root}/warm_idx", ignore_errors=True)
+        shutil.rmtree(f"{root}/warm_pages", ignore_errors=True)
+
+        t0 = time.time()
+        versions = {1: R.build_pages_index(s, pr, ir, term_buckets=64)}
+        queries[f"refresh_base_build_{n // 1000}k"] = time.time() - t0
+
+        # two refresh cycles: each commits n_delta new urls + n_delta
+        # re-crawls, then a row-delta index commit → one more layer
+        refresh_walls = []
+        for cycle in (1, 2):
+            start = n + (cycle - 1) * n_delta
+            # new urls: generate past the current id range and anti-join
+            # the live url set (pages_df keys rows by url, not doc_id)
+            new_pages = (
+                pages_df(s, start + n_delta, seed=42, partitions=8)
+                .join(pages.read(s).select("url"), "url", "left_anti")
+            )
+            recrawl = (
+                base.filter(
+                    F.xxhash64("url") % int(n / n_delta) == cycle)
+                .withColumn("text", F.concat(
+                    "text", F.lit(f" refreshed crawl {cycle}")))
+                .withColumn("html", F.col("text").cast("binary"))
+                .withColumn("warc_ts", F.col("warc_ts")
+                            + F.expr(f"interval {10 * cycle} days"))
+            )
+            pages.commit(new_pages.unionByName(recrawl),
+                         note=f"crawl v{cycle}")
+            t0 = time.time()
+            versions[cycle + 1] = R.refresh_pages_index(s, pr, ir)
+            refresh_walls.append(time.time() - t0)
+
+        t0 = time.time()
+        compacted_v = R.rewrite_pages_index(s, ir)
+        queries[f"refresh_compaction_{n // 1000}k"] = time.time() - t0
+
+        # df-banded query log from the PUBLISHED vocabulary (rank band
+        # [20, 200) — the run_query_scaling protocol: head stopwords and
+        # df=1 tail terms measure only fixed overhead)
+        vocab = (
+            R.published_postings(s, ir, terms=None, with_positions=False)
+            .groupBy("term").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(200)
+            .collect()
+        )
+        terms = [r["term"] for r in vocab[20:200]]
+        T_ = len(terms)
+        batch = {
+            f"q{i}": f"{terms[(2 * i) % T_]} {terms[(2 * i + 7) % T_]}"
+            for i in range(REFRESH_QUERIES)
+        }
+
+        # interleaved replay: every trial round times every layer state
+        states = [("layers1_base", versions[1]), ("layers2", versions[2]),
+                  ("layers3", versions[3]), ("layers1_compacted", compacted_v)]
+        walls: dict[str, list[float]] = {name: [] for name, _ in states}
+        # warm every state's file-planning path once, untimed
+        for name, v in states:
+            R.refreshed_topk_batch(
+                s, ir, {"w": batch["q0"]}, k=10, version=v).count()
+        for _ in range(REFRESH_TRIALS):
+            for name, v in states:
+                t0 = time.time()
+                R.refreshed_topk_batch(s, ir, batch, k=10, version=v).count()
+                walls[name].append(time.time() - t0)
+
+        best = {name: min(ws) for name, ws in walls.items()}
+        queries[f"refresh_batch{REFRESH_QUERIES}_mor3_{n // 1000}k"] = best["layers3"]
+        queries[f"refresh_batch{REFRESH_QUERIES}_compacted_{n // 1000}k"] = (
+            best["layers1_compacted"])
+        tax = {
+            name: round(best[name] / best["layers1_compacted"], 3)
+            for name, _ in states
+        }
+        extra["refresh_serve"] = {
+            "n_docs_base": n,
+            "n_delta_per_cycle": 2 * n_delta,
+            "n_queries": REFRESH_QUERIES,
+            "df_rank_band": [20, 200],
+            "trials": REFRESH_TRIALS,
+            "selection": f"best_of_{REFRESH_TRIALS}_interleaved",
+            "refresh_walls_s": [round(w, 2) for w in refresh_walls],
+            "batch_trials_s": {k: [round(w, 2) for w in ws]
+                               for k, ws in walls.items()},
+            "batch_best_s": {k: round(v, 3) for k, v in best.items()},
+            "queries_per_sec_mor3": round(
+                REFRESH_QUERIES / best["layers3"], 1),
+            "queries_per_sec_compacted": round(
+                REFRESH_QUERIES / best["layers1_compacted"], 1),
+            "layer_tax_vs_compacted": tax,
+        }
+    except Exception as exc:  # record, never kill the bench artifact
+        extra["refresh_serve"] = {"error": str(exc)[:500]}
+    finally:
+        s.stop()
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def run_wand_crossover(queries: dict, extra: dict) -> None:
@@ -939,6 +1136,7 @@ _SECTIONS = {
     "main": run_main,
     "crossover": run_wand_crossover,
     "dedup": run_dedup_e2e,
+    "refresh": run_refresh_serve,
 }
 
 
@@ -953,7 +1151,7 @@ def _active_sections() -> list[str]:
             out.append("qscaling")
     out += ["main", "crossover"]
     if SCALING:
-        out.append("dedup")
+        out += ["dedup", "refresh"]
     return out
 
 
@@ -976,6 +1174,8 @@ _HEADLINE_KEYS = (
     "wand_crossover_full_decode", "wand_crossover_wand",
     "rank_bm25", "bool_and", "phrase_2",
     "bm25f_p50_k10", "snippet_p50_k10", "wildcard_3pats", "spell_5terms",
+    "champions_p50_k10",
+    "refresh_batch60_mor3_400k", "refresh_batch60_compacted_400k",
 )
 
 
@@ -988,6 +1188,11 @@ def _compact_line(queries: dict, extra: dict, wall: float) -> str:
     qs = extra.get("query_scaling", {})
     xo = extra.get("wand_crossover", {})
     de = extra.get("dedup_e2e", {})
+    ch = extra.get("champion_recall", {})
+    ch_head = next(
+        (s for s in ch.get("sweep", [])
+         if s.get("r") == ch.get("headline_r")), {})
+    rs = extra.get("refresh_serve", {})
     out = {
         "metric": "index-build docs/sec + BM25 top-k p50 latency",
         "value": round(wall, 2),
@@ -1003,6 +1208,15 @@ def _compact_line(queries: dict, extra: dict, wall: float) -> str:
         "wand_crossover_speedup": xo.get("speedup"),
         "wand_identical_topk": xo.get("identical_topk"),
         "dedup_docs_per_sec": de.get("docs_per_sec"),
+        # static-pruning recall in the round record (VERDICT r4 item 6)
+        "champion_recall": {
+            "r": ch.get("headline_r"),
+            "mean": ch_head.get("mean_recall_vs_exact"),
+            "min": ch_head.get("min_recall_vs_exact"),
+            "p50_s": ch_head.get("p50_latency_s"),
+        } if ch else None,
+        # merge-on-read serving tax at query volume (VERDICT r4 item 5)
+        "refresh_layer_tax": rs.get("layer_tax_vs_compacted"),
         "pages_docs_per_sec": extra.get("pages_docs_per_sec"),
         "ref_index_docs_per_sec": extra.get("ref_index_docs_per_sec"),
         "compression_ratio": extra.get(

@@ -353,6 +353,87 @@ def refreshed_topk(
     )
 
 
+def refreshed_topk_batch(
+    spark: SparkSession,
+    index_root: str,
+    queries: dict[str, str],
+    k: int = 10,
+    normalize=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Query-log replay over a refreshed (merge-on-read) snapshot: ALL
+    queries in ONE job — the path a serving fleet actually reads a
+    delta-layered index through, and therefore the shape the serving
+    tax must be measured on (a per-query loop re-pays file planning +
+    delete reconciliation per query; the batch pays them once).
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query,
+    per-query rows identical to :func:`refreshed_topk` (same live-dft
+    exactness rule — dft counts live postings after the delete
+    reconcile).
+
+    Scale shape: one bucket-pruned decode of the UNION of all query
+    terms (delta layers + base, deletes applied once), localCheckpoint,
+    per-term dft aggregate, broadcast (query_id, term, mult) fan-out,
+    ONE partial-agg shuffle on (query_id, doc_id), per-query window
+    top-k — the merge-on-read twin of queries.ranked.rank_topk_batch.
+    """
+    from pyspark.sql.window import Window
+
+    from ..queries.ranked import query_rank_terms
+    from ..queries.wand import bm25_wdt_expr
+
+    qt_rows = [
+        (qid, t, float(m))
+        for qid, q in queries.items()
+        for t, m in query_rank_terms(q, normalize).items()
+    ]
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int")
+    props = SnapshotTable(index_root).properties(version)
+    n_docs, avg_dl = float(props["n_docs"]), float(props["avg_doc_length"])
+    qt = spark.createDataFrame(
+        qt_rows, "query_id string, term string, mult double")
+    terms = sorted({t for _, t, _ in qt_rows})
+
+    postings = published_postings(spark, index_root, terms,
+                                  version=version, with_positions=False)
+    # one materialization of the pruned, delete-reconciled decode — the
+    # dft aggregate and the scoring join both read it (same rationale
+    # as refreshed_topk, amortized over the whole query log here)
+    postings = postings.localCheckpoint(eager=True)
+    wq = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("double").alias("dft"))
+        .withColumn(
+            "wqt",
+            F.greatest(
+                F.lit(0.1),
+                F.log((F.lit(n_docs) - F.col("dft") + 0.5)
+                      / (F.col("dft") + 0.5))))
+        .select("term", "wqt")
+    )
+    scored = (
+        postings.join(F.broadcast(wq), "term")
+        .join(F.broadcast(qt), "term")
+        .withColumn(
+            "contrib",
+            F.col("wqt") * F.col("mult")
+            * bm25_wdt_expr(F.col("tftd"),
+                            F.col("doc_length").cast("double"), avg_dl),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.desc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def refreshed_boolean(
     spark: SparkSession,
     index_root: str,

@@ -262,3 +262,24 @@ def test_submit_refresh_job_init_then_refresh(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         job(["--pages-root", pr, "--index-root", ir, "--init"],
             spark=spark)
+
+
+def test_refreshed_batch_matches_per_query_serving(spark, loop):
+    """The query-log replay path over a merge-on-read snapshot must be
+    row/score/rank-identical per query to refreshed_topk — batch is the
+    fleet serving shape the serving-tax bench measures."""
+    _, ir, _, (_, _, _, iv1) = loop
+    qmap = {f"q{i}": q for i, q in enumerate(RANKED)}
+    rows = R.refreshed_topk_batch(spark, ir, qmap, k=10,
+                                  version=iv1).collect()
+    got: dict = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qid, q in qmap.items():
+        assert got.get(qid, []) == _ranked(spark, ir, q, version=iv1), q
+
+
+def test_refreshed_batch_empty_queries(spark, loop):
+    _, ir, _, _ = loop
+    assert R.refreshed_topk_batch(spark, ir, {}).count() == 0
