@@ -32,7 +32,8 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None, spark=None) -> dict:
+def main(argv: list[str] | None = None, spark=None,
+         _print: bool = True) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-root", required=True,
                     help="SnapshotTable root of the crawled pages "
@@ -114,7 +115,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                               "wall_s": round(time.time() - t1, 2)}
         out["index_version"] = version
 
-    print(json.dumps(out))
+    if _print:
+        print(json.dumps(out))
     if owns_spark:
         spark.stop()
     return out

@@ -283,3 +283,46 @@ def test_refreshed_batch_matches_per_query_serving(spark, loop):
 def test_refreshed_batch_empty_queries(spark, loop):
     _, ir, _, _ = loop
     assert R.refreshed_topk_batch(spark, ir, {}).count() == 0
+
+
+def test_submit_warehouse_job_full_loop(spark, tmp_path, capsys):
+    """The one-command cluster driver: first run builds from warehouse
+    state, second run refreshes, both serve the query batch in one job
+    — the spark-submit surface of build -> publish -> refresh -> serve."""
+    import sys as _sys
+    _sys.path.insert(0, "scripts")
+    from submit_warehouse_job import main as job
+
+    wh = str(tmp_path / "wh")
+    pages = SnapshotTable(f"{wh}/pages")
+    everything = pages_df(spark, 100, seed=3).cache()
+    pages.commit(everything.filter(F.xxhash64("url") % 4 != 0),
+                 mode="overwrite")
+
+    out0 = job(["--warehouse", wh, "--term-buckets", "8",
+                "--queries", "the crawl; page body"], spark=spark)
+    assert out0["phase"] == "init"
+    assert set(out0["serve"]["results"]) == {"the crawl", "page body"}
+    assert all(len(res) > 0 for res in out0["serve"]["results"].values())
+    # one JSON line, parseable, carrying the serve payload
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    assert _json.loads(line)["serve"]["k"] == 10
+
+    # second run: auto-refresh over the new crawl batch
+    pages.commit(everything.filter(F.xxhash64("url") % 4 == 0))
+    everything.unpersist()
+    out1 = job(["--warehouse", wh, "--queries", "the crawl"], spark=spark)
+    assert out1["phase"] == "refresh"
+    assert out1["index_version"] > out0["index_version"]
+    assert out1["commit"]["new_delete_files"] >= 0
+    served = out1["serve"]["results"]["the crawl"]
+    # serving matches the direct per-query path at the same version
+    direct = [[r.doc_id, round(r.score, 6)] for r in R.refreshed_topk(
+        spark, f"{wh}/pages_index", "the crawl", k=10,
+        version=out1["index_version"]).collect()]
+    assert served == direct
+
+    # no pages table -> clear refusal
+    with pytest.raises(SystemExit, match="no pages table"):
+        job(["--warehouse", str(tmp_path / "empty")], spark=spark)
