@@ -147,6 +147,47 @@ def anchor_term_stats(anchors: DataFrame) -> DataFrame:
     )
 
 
+def anchor_field(anchors: DataFrame, target_doc) -> DataFrame:
+    """(doc_id, anchor): the anchor-text FIELD of each target document
+    — every inlink's visible anchor text concatenated in deterministic
+    (source doc, link position) order, ready to feed
+    ``indexing.fielded.build_fielded_index`` as a third BM25F field
+    (the web-ranking shape: what OTHER pages call a page often
+    describes it better than its own body, Manning IIR §21.1.1).
+
+    ``target_doc`` is a Column resolving each anchor row's href to the
+    doc_id it points at — url→doc resolution is deployment-specific (a
+    join against the crawl table's url→doc_id map, or a path rule);
+    rows resolving to NULL (external/unresolvable links) are dropped.
+
+    Scale shape: one groupBy(target) over the anchors table; the
+    per-doc field is bounded by inlink count — at web scale feed this
+    a df-capped anchors frame (hub pages with millions of inlinks want
+    a sampled/capped anchor set, same policy knob as docsim's max_df)
+    and the collect_list stays bounded. BM25F only reads the token
+    MULTISET (wtf + field length), so the deterministic sort is for
+    reproducibility of the string, not a semantic requirement."""
+    return (
+        anchors.select(
+            target_doc.cast("long").alias("target"),
+            F.struct(
+                F.col("doc_id").alias("src"), F.col("link_pos")
+            ).alias("ord"),
+            "anchor",
+        )
+        .filter(F.col("target").isNotNull())
+        .groupBy("target")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("ord", "anchor"))).alias("xs"))
+        .select(
+            F.col("target").alias("doc_id"),
+            F.concat_ws(
+                " ", F.transform("xs", lambda x: x["anchor"])
+            ).alias("anchor"),
+        )
+    )
+
+
 def inlink_host_stats(links: DataFrame) -> DataFrame:
     """(host, n_inlinks, n_source_docs) over an
     :func:`extract_links`-shaped table — the inbound-authority rollup a

@@ -106,3 +106,48 @@ def test_null_field_is_empty_field_not_document_killer(spark):
     got = {r["doc_id"] for r in rank_topk_fielded(
         fidx, QUERY, k=10, normalize=simple_query_term).collect()}
     assert got == {1, 2}
+
+
+def test_anchor_field_decides_planted_query(spark):
+    """Anchor text as a third BM25F field: a term that appears ONLY in
+    other pages' anchor text toward a doc must rank that doc first —
+    the off-page signal the reference's single-field scorer cannot
+    express. Also pins anchor_field's deterministic inlink order."""
+    from searchengine_spark.ops.html import anchor_field, extract_anchors
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<html><head><title>alpha</title></head><body>'
+                '<p>table scan body</p>'
+                '<a href="http://x.com/l/3">best spark engine</a>'
+                '</body></html>'),
+            (2, '<html><head><title>beta</title></head><body>'
+                '<p>table scan body words</p>'
+                '<a href="http://x.com/l/3">spark engine docs</a>'
+                '</body></html>'),
+            (3, '<html><head><title>gamma</title></head><body>'
+                '<p>plain page about tables</p></body></html>'),
+        ],
+        "doc_id long, html string")
+    from searchengine_spark.ops.html import extract_visible_text
+
+    fields_df = extract_visible_text(pages)
+    anch = anchor_field(
+        extract_anchors(pages),
+        F.regexp_extract(F.col("href"), r"/l/([0-9]+)$", 1).cast("long"))
+    rows = {r["doc_id"]: r["anchor"] for r in anch.collect()}
+    # deterministic (src, link_pos) order of the concatenated field
+    assert rows == {3: "best spark engine spark engine docs"}
+
+    fidx = build_fielded_index(
+        fields_df.join(anch, "doc_id", "left"),
+        {"title": 2.0, "text": 1.0, "anchor": 3.0})
+    # 'engine' never occurs in doc 3's own title/body — only inlink
+    # anchors carry it; the anchor field must put doc 3 on top
+    top = rank_topk_fielded(fidx, "engine", k=3,
+                            normalize=simple_query_term).collect()
+    assert top[0]["doc_id"] == 3
+    # and a doc with no inlinks still ranks on its own fields
+    top2 = rank_topk_fielded(fidx, "gamma", k=3,
+                             normalize=simple_query_term).collect()
+    assert top2[0]["doc_id"] == 3
