@@ -191,6 +191,31 @@ def main() -> None:
     rank_topk_fielded(fidx, "table scan", 10,
                       normalize=simple_query_term).explain()
 
+    print("=" * 70)
+    print("HYBRID ANN ARM (round 5) — the embeddings scan must carry the")
+    print("sign-LSH bucket predicate as a DataFilter directly on the")
+    print("FileScan (partition pruning once the table is written")
+    print("bucketed), then cosine + TakeOrderedAndProject(depth); NO")
+    print("full-table sort, NO shuffle before the bounded fusion")
+    print("=" * 70)
+    from searchengine_spark.queries.hybrid import dense_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0]]
+    dense_topk(emb, qv, 20, dense="ann", nbits=4).explain("formatted")
+
+    print("=" * 70)
+    print("MERGE-ON-READ BATCH REPLAY (round 5) — ONE decode of the")
+    print("union-of-terms bucket files, delete reconcile broadcast, the")
+    print("(query_id, term, mult) fan-out broadcast, ONE partial-agg")
+    print("shuffle on (query_id, doc_id), per-query WindowGroupLimit —")
+    print("the whole query log in one job")
+    print("=" * 70)
+    R.refreshed_topk_batch(
+        spark, ir, {"qa": "table scan", "qb": "merge join"}, k=10
+    ).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
