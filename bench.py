@@ -70,12 +70,13 @@ PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES_N", "20000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1200000"))
 SCALE_CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_N", "2"))
 SCALE_CORES_4N = SCALE_CORES_N * 4
-# 4 interleaved trial pairs: host contention on this shared VM comes in
-# multi-minute episodes that can span an entire 3-trial window (observed
-# once: every local[8] trial 74-80s vs 56s on a quiet host while the
-# same session's local[2] trials moved only 8%) — a 4th pair buys
-# another independent window for best-of selection at ~+5 min.
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "4"))
+# 3 interleaved trial pairs as the BASE window (round 5; was 4): the
+# adaptive extension below already buys extra pairs whenever best-of
+# efficiency reads <0.8, which is exactly the noise-burst case the 4th
+# fixed pair defended against — and the round-5 bench grew two new
+# sections (refresh serving tax + the 400-query qscaling batch), so
+# the fixed window gives its ~7 min back to keep total wall ~70 min.
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 # query-side scaling reuses the staged index; 3 interleaved trial pairs
 # (~8 min) — enough best-of windows to dodge one noise burst
 QSCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_QSCALE_TRIALS", "3"))
@@ -265,7 +266,7 @@ def run_query_scaling(
     queries: dict,
     extra: dict,
     index_root: str | None = None,
-    n_queries: int = 180,
+    n_queries: int = 400,
     trials: int | None = None,
     band: tuple[int, int] = (20, 200),
 ) -> None:
@@ -284,7 +285,18 @@ def run_query_scaling(
       observed 0.35 "efficiency" from exactly that mistake);
     * shuffle_partitions is PINNED to the same value at both core
       counts so the job is identical and only parallelism differs;
-    * interleaved best-of-N trials, all walls recorded.
+    * interleaved best-of-N trials, all walls recorded;
+    * the batch is 400 queries (round 5; was 180): each batch run
+      carries ~9 s of core-count-INDEPENDENT serial driver work (plan
+      compile for the 180-term union, broadcast construction, job
+      scheduling — Amdahl fit from the r5 trial walls: serial 9.3 s,
+      parallel work scaling 1.0), and at 180 queries that serial slice
+      alone caps measurable efficiency at ~0.75. A real query-log
+      replay amortizes per-job driver work over arbitrarily many
+      queries, so the batch is sized to do the same — the identical
+      argument that sizes SCALING_N at 1.2M docs and WAND_N at 128M
+      postings (measured: 180q → 0.745, 400q → 0.931 on the same
+      staged index).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
