@@ -3899,6 +3899,67 @@ FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
 )
 
 
+def _hybrid_ivf_sql() -> str:
+    """Rank CTEs + the fixed-point IVF chain (as_cte mode ends at a
+    densetop (vec_id, cosine) bounded to the fusion depth) + RRF — the
+    oracle for the hybrid's CALLABLE dense-arm hook armed with a
+    fitted IvfIndex."""
+    from .oracle.ref_sql import ivf_fixedpoint_sql
+
+    return (
+        _rank_sql("bm25", RANK_TERMS, k=_HYBRID_DEPTH, as_cte=True)
+        + ",\n"
+        + ivf_fixedpoint_sql(n_centroids=8, n_iter=2, n_probe=4, dim=64,
+                             k=_HYBRID_DEPTH, as_cte=True)
+        + """
+, lexrank AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score DESC, doc_id DESC) AS rank
+  FROM topk
+),
+denserank AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM densetop
+),
+fused AS (
+  SELECT id, sum(1.0 / (60.0 + rank)) AS rrf_score,
+         count(*)::BIGINT AS n_lists
+  FROM (SELECT * FROM lexrank UNION ALL SELECT * FROM denserank)
+  GROUP BY id
+)
+SELECT id AS doc_id, floor(rrf_score * 1e6)::BIGINT AS rrf_e6, n_lists
+FROM fused ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
+    )
+
+
+@register("hybrid_rrf_ivf", _hybrid_ivf_sql())
+def hybrid_rrf_ivf(spark, sf_dir):
+    """Hybrid with the dense arm plugged via the CALLABLE hook: a
+    fitted fixed-point IVF index (probe-bounded search — the
+    production-recall ANN shape) feeds the fusion; the oracle replays
+    seeds → Lloyd rounds → probe → cosine → RRF. Pins that dense_topk's
+    callable path carries an arbitrary ranker into the fused result
+    unchanged."""
+    from .ops.similarity import IvfIndex
+    from .queries.hybrid import hybrid_topk
+
+    idx = simple_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    ivf = IvfIndex.fit_fixedpoint(emb, n_centroids=8, n_iter=2)
+    out = hybrid_topk(
+        idx, emb, RANK_QUERY, _query_vec(spark, sf_dir),
+        k=10, depth=_HYBRID_DEPTH, normalize=simple_query_term,
+        dense=lambda e, q, d: ivf.search_fixedpoint(q, d, n_probe=4),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _e6(F.col("rrf_score")).alias("rrf_e6"),
+        "n_lists",
+    )
+
+
 @register("hybrid_rrf_ann", HYBRID_ANN_SQL)
 def hybrid_rrf_ann(spark, sf_dir):
     """Scale-path hybrid: BM25 top-20 fused with the sign-LSH bucketed
@@ -4194,6 +4255,9 @@ _BEYOND_BUDGET = (
     # round-5: anchor-text third field — same fold/scoring code path as
     # rank_bm25f_fielded (which holds the family's driver row).
     "rank_bm25f_anchor",
+    # round-5: the callable-hook hybrid (IVF arm) — fusion path held
+    # in-window by hybrid_rrf_topk/hybrid_rrf_ann, IVF by sim_ivf_topk.
+    "hybrid_rrf_ivf",
 )
 
 

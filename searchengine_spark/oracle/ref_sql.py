@@ -219,7 +219,8 @@ WHERE found {tails}
 
 def ivf_fixedpoint_sql(n_centroids: int = 8, n_iter: int = 2,
                        n_probe: int = 4, dim: int = 64, k: int = 10,
-                       scale: int = 1 << 20) -> str:
+                       scale: int = 1 << 20,
+                       as_cte: bool = False) -> str:
     """Replay ops/similarity.IvfIndex.fit_fixedpoint + search: scaled
     integer vectors, evenly-spaced-by-id seeds, ``n_iter`` Lloyd rounds
     with floor-mean updates, probe the ``n_probe`` nearest cells, exact
@@ -252,7 +253,7 @@ c{i + 1} AS (
 )"""
 
     iters = ",".join(iteration(i) for i in range(n_iter))
-    return f"""
+    body = f"""
 WITH x AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
@@ -301,8 +302,20 @@ dots AS (
   SELECT vec_id, sum(v * qval) AS dot, sum(v * v) AS nv
   FROM expe JOIN expq USING (i) GROUP BY vec_id
 ),
-qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq)
+qn AS (SELECT sqrt(sum(qval * qval)) AS qnorm FROM expq)"""
+    tail_cte = f"""
+, densetop AS (
+  SELECT vec_id, dot / (sqrt(nv) * qnorm) AS cosine
+  FROM dots, qn ORDER BY dot / (sqrt(nv) * qnorm) DESC, vec_id ASC
+  LIMIT {k}
+)"""
+    tail_final = f"""
 SELECT vec_id, floor(dot / (sqrt(nv) * qnorm) * 1e6)::BIGINT AS cosine_e6
 FROM dots, qn
 ORDER BY dot / (sqrt(nv) * qnorm) DESC, vec_id ASC LIMIT {k}
 """
+    if as_cte:
+        # strip the leading WITH so the chain splices after another
+        # WITH-block; ends at a comma-ready densetop (vec_id, cosine)
+        return body.replace("\nWITH x AS (", "x AS (", 1) + tail_cte
+    return body + tail_final
