@@ -564,6 +564,7 @@ def run_refresh_serve(queries: dict, extra: dict) -> None:
         # two refresh cycles: each commits n_delta new urls + n_delta
         # re-crawls, then a row-delta index commit → one more layer
         refresh_walls = []
+        delta_rows = []
         for cycle in (1, 2):
             start = n + (cycle - 1) * n_delta
             # new urls: generate past the current id range and anti-join
@@ -573,16 +574,22 @@ def run_refresh_serve(queries: dict, extra: dict) -> None:
                 .join(pages.read(s).select("url"), "url", "left_anti")
             )
             recrawl = (
+                # pmod, not %: xxhash64 is negative for ~half the urls
+                # and Spark's % keeps the dividend's sign, so a == cycle
+                # test against signed remainders would silently halve
+                # the recrawl set (caught in round-5 review)
                 base.filter(
-                    F.xxhash64("url") % int(n / n_delta) == cycle)
+                    F.pmod(F.xxhash64("url"), F.lit(int(n / n_delta)))
+                    == cycle)
                 .withColumn("text", F.concat(
                     "text", F.lit(f" refreshed crawl {cycle}")))
                 .withColumn("html", F.col("text").cast("binary"))
                 .withColumn("warc_ts", F.col("warc_ts")
                             + F.expr(f"interval {10 * cycle} days"))
             )
-            pages.commit(new_pages.unionByName(recrawl),
-                         note=f"crawl v{cycle}")
+            delta = new_pages.unionByName(recrawl)
+            delta_rows.append(delta.count())  # ACTUAL delta, untimed
+            pages.commit(delta, note=f"crawl v{cycle}")
             t0 = time.time()
             versions[cycle + 1] = R.refresh_pages_index(s, pr, ir)
             refresh_walls.append(time.time() - t0)
@@ -632,7 +639,7 @@ def run_refresh_serve(queries: dict, extra: dict) -> None:
         }
         extra["refresh_serve"] = {
             "n_docs_base": n,
-            "n_delta_per_cycle": 2 * n_delta,
+            "n_delta_rows_per_cycle": delta_rows,  # measured, not target
             "n_queries": REFRESH_QUERIES,
             "df_rank_band": [20, 200],
             "trials": REFRESH_TRIALS,
@@ -1187,7 +1194,8 @@ _HEADLINE_KEYS = (
     "rank_bm25", "bool_and", "phrase_2",
     "bm25f_p50_k10", "snippet_p50_k10", "wildcard_3pats", "spell_5terms",
     "champions_p50_k10",
-    "refresh_batch60_mor3_400k", "refresh_batch60_compacted_400k",
+    f"refresh_batch{REFRESH_QUERIES}_mor3_{REFRESH_N // 1000}k",
+    f"refresh_batch{REFRESH_QUERIES}_compacted_{REFRESH_N // 1000}k",
 )
 
 

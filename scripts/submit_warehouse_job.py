@@ -88,7 +88,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
     # 3: serve the query batch against the version just published
     if args.queries:
-        qlist = [q.strip() for q in args.queries.split(";") if q.strip()]
+        # dedupe preserving order: results are keyed by query text, so
+        # a repeated query would silently collapse in the output dict
+        qlist = list(dict.fromkeys(
+            q.strip() for q in args.queries.split(";") if q.strip()))
         qmap = {f"q{i}": q for i, q in enumerate(qlist)}
         t0 = time.time()
         rows = R.refreshed_topk_batch(

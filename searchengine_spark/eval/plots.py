@@ -33,12 +33,17 @@ STRATEGY_LABELS = {
 }
 
 try:  # pragma: no cover - matplotlib absent in the build container
-    import matplotlib
-
-    matplotlib.use("Agg")  # headless: never require a display
-    from matplotlib import pyplot as _plt
+    # Figure + explicit Agg canvas, NOT pyplot: importing this module
+    # must not flip the process-wide backend (a matplotlib.use("Agg")
+    # here would silently kill inline rendering for a notebook user
+    # who only imported write_pr_curve_data)
+    from matplotlib.backends.backend_agg import (
+        FigureCanvasAgg as _FigureCanvasAgg,
+    )
+    from matplotlib.figure import Figure as _Figure
 except ImportError:  # pragma: no cover
-    _plt = None
+    _Figure = None
+    _FigureCanvasAgg = None
 
 
 def strategy_pr_curves(
@@ -110,7 +115,7 @@ def render_pr_curves(
     upper-right legend). OPTIONAL matplotlib — raises a clear
     ImportError when it is not installed (the JSON artifact from
     ``write_pr_curve_data`` is the no-dependency path)."""
-    if _plt is None:  # pragma: no cover - exercised via monkeypatch
+    if _Figure is None:  # pragma: no cover - exercised via monkeypatch
         raise ImportError(
             "matplotlib is required to render precision-recall PNGs; "
             "pip install matplotlib, or use write_pr_curve_data() for "
@@ -120,7 +125,9 @@ def render_pr_curves(
     paths = []
     for s, pts in curves.items():
         label = STRATEGY_LABELS.get(s, s)
-        fig, ax = _plt.subplots()
+        fig = _Figure()
+        _FigureCanvasAgg(fig)  # draw on an Agg canvas, no global state
+        ax = fig.subplots()
         ax.plot(
             [r for r, _ in pts],
             [p for _, p in pts],
@@ -134,6 +141,5 @@ def render_pr_curves(
             out_dir, f"Precision-Recall-Curve-{label}-{query_label}.png"
         )
         fig.savefig(path)
-        _plt.close(fig)
         paths.append(path)
     return paths

@@ -77,7 +77,11 @@ def dense_topk(
     * ``"ann"`` (default) — sign-LSH bucketed ``ops.similarity.ann_topk``
       (``nbits`` hyperplanes): the SCALE path; candidates come from one
       bucket (partition-prunable when the table is written bucketed),
-      never a full-corpus scan.
+      never a full-corpus scan. Size ``nbits`` to the corpus: expected
+      bucket occupancy is n/2^nbits, so the 16-bit default suits ≥10^6
+      vectors — on small corpora drop nbits (or use ``"brute"``, which
+      is both exact and cheap there) or the query's bucket may hold
+      fewer than ``depth`` candidates.
     * ``"brute"`` — exact ``brute_force_topk``: the recall-1 oracle twin.
       A full scan per query — correctness baseline, not a serving path.
     * a callable ``(embeddings, query_vec, depth) -> DataFrame`` —
@@ -93,7 +97,11 @@ def dense_topk(
     if isinstance(dense, DataFrame):
         return dense.orderBy(F.desc("cosine"), F.asc(id_col)).limit(depth)
     if callable(dense):
-        return dense(embeddings, query_vec, depth)
+        # re-bound like the frame branch: a ranker that ignores the
+        # depth argument must not feed ranks beyond the RRF depth
+        # contract into the fusion
+        return (dense(embeddings, query_vec, depth)
+                .orderBy(F.desc("cosine"), F.asc(id_col)).limit(depth))
     if dense == "ann":
         return ann_topk(embeddings, query_vec, depth, nbits=nbits,
                         id_col=id_col)

@@ -162,3 +162,22 @@ def test_unknown_dense_ranker_rejected(spark, hybrid_setup):
     _, emb = hybrid_setup
     with pytest.raises(ValueError, match="unknown dense ranker"):
         dense_topk(emb, QVEC, 3, dense="typo")
+
+
+def test_callable_ignoring_depth_is_rebounded(spark, hybrid_setup):
+    # a callable that returns MORE rows than depth (ignores d) must be
+    # re-bounded before fusion, like the pre-ranked-frame branch —
+    # otherwise ranks beyond the RRF depth contract leak contributions
+    from searchengine_spark.indexing.simple import simple_query_term
+    from searchengine_spark.ops.similarity import cosine_to_query
+    from searchengine_spark.queries.hybrid import hybrid_topk
+
+    idx, emb = hybrid_setup
+    want = _fused(hybrid_topk(idx, emb, "table scan", QVEC, k=4, depth=2,
+                              normalize=simple_query_term,
+                              dense="brute").collect())
+    via_greedy_callable = hybrid_topk(
+        idx, emb, "table scan", QVEC, k=4, depth=2,
+        normalize=simple_query_term,
+        dense=lambda e, q, d: cosine_to_query(e, q)).collect()  # ALL rows
+    assert _fused(via_greedy_callable) == want

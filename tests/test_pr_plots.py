@@ -113,7 +113,7 @@ def test_json_artifact_roundtrips_with_reference_labels(curves, tmp_path):
 
 
 def test_render_contract(curves, tmp_path):
-    if plots._plt is None:
+    if plots._Figure is None:
         with pytest.raises(ImportError, match="matplotlib"):
             plots.render_pr_curves(curves, str(tmp_path))
     else:  # pragma: no cover - matplotlib absent in the build container
